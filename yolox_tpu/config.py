@@ -1,0 +1,353 @@
+"""YoloxConfig — hyperparameter dataclass + named model registry + factory hub.
+
+Re-design of `/root/reference/yolox/config.py`: identical field names and
+defaults (so `-D key=value` CLI overrides and user config subclasses carry
+over), with the factory methods building the TPU-native stack instead of
+torch objects.
+"""
+
+from __future__ import annotations
+
+import ast
+from dataclasses import dataclass, field
+from typing import Any, Dict, Literal, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class YoloxConfig:
+    name: str
+
+    # ---------------- model config ---------------- #
+    num_classes: int = 80
+    depth: float = 1.00
+    width: float = 1.00
+    depthwise: bool = False
+    act: Literal["silu", "relu", "lrelu"] = "silu"
+
+    seed: Optional[Any] = None
+    output_dir: str = "./out"
+
+    # ---------------- dataloader config ---------------- #
+    deterministic: bool = False
+    data_num_workers: int = 4
+    input_size: Tuple[int, int] = (640, 640)  # (height, width)
+    # Actual multiscale ranges: [640 - 5 * 32, 640 + 5 * 32]; 0 disables.
+    multiscale_range: int = 5
+    random_size: Optional[Tuple[int, int]] = None
+    data_dir: Optional[str] = None
+    train_ann: str = "instances_train2017.json"
+    val_ann: str = "instances_val2017.json"
+    test_ann: str = "instances_test2017.json"
+
+    # --------------- transform config ----------------- #
+    mosaic_prob: float = 1.0
+    mixup_prob: float = 1.0
+    hsv_prob: float = 1.0
+    flip_prob: float = 0.5
+    degrees: float = 10.0
+    translate: float = 0.1
+    mosaic_scale: Tuple[float, float] = (0.1, 2)
+    enable_mixup: bool = True
+    mixup_scale: Tuple[float, float] = (0.5, 1.5)
+    shear: float = 2.0
+
+    # --------------  training config --------------------- #
+    warmup_epochs: int = 5
+    max_epoch: int = 300
+    warmup_lr: int = 0
+    min_lr_ratio: float = 0.05
+    basic_lr_per_img: float = 0.01 / 64.0
+    scheduler: str = "yoloxwarmcos"
+    no_aug_epochs: int = 15
+    ema: bool = True
+
+    weight_decay: float = 5e-4
+    momentum: float = 0.9
+    print_interval: int = 10
+    eval_interval: int = 10
+    save_history_ckpt: bool = True
+
+    # -----------------  testing config ------------------ #
+    test_size: Tuple[int, int] = (640, 640)
+    test_conf: float = 0.01
+    nmsthre: float = 0.65
+
+    dataset: Optional[Any] = None
+
+    @classmethod
+    def get_named_config(cls, name: str) -> Optional["YoloxConfig"]:
+        factory = _NAMED_CONFIG.get(name.replace("-", "_"))
+        return factory() if factory is not None else None
+
+    def validate(self):
+        h, w = self.input_size
+        assert h % 32 == 0 and w % 32 == 0, "input size must be multiples of 32"
+
+    def update(self, opts: Dict[str, str]):
+        """Apply `-D key=value` CLI overrides with type coercion
+        (`config.py:129-157`)."""
+        for k, v in opts.items():
+            if not hasattr(self, k):
+                raise AttributeError(
+                    f"Unknown model configuration option: {k}")
+            src_value = getattr(self, k)
+            src_type = type(src_value)
+
+            if isinstance(src_value, (list, tuple)):
+                v = v.strip("[]()")
+                v = [t.strip() for t in v.split(",")]
+                if len(src_value) > 0:
+                    src_item_type = type(src_value[0])
+                    v = [src_item_type(t) for t in v]
+                v = src_type(v)
+            elif src_value is not None and src_type != type(v):
+                try:
+                    v = src_type(v)
+                except Exception:
+                    v = ast.literal_eval(v)
+            if k == "seed":
+                v = int(v)
+            setattr(self, k, v)
+
+    # ----------------- factory hub ----------------- #
+
+    def get_model(self, rng_seed: int = 0):
+        """Build a fresh YoloxModule with initialized parameters."""
+        from yolox_tpu.models.yolox import YoloxModule
+
+        return YoloxModule.from_config(self, rng_seed=rng_seed)
+
+    def get_dataset(self, cache: bool = False, cache_type: str = "ram"):
+        from yolox_tpu.data import CocoDataset, TrainTransform
+
+        return CocoDataset(
+            data_dir=self.data_dir,
+            json_file=self.train_ann,
+            img_size=self.input_size,
+            preproc=TrainTransform(
+                max_labels=50,
+                flip_prob=self.flip_prob,
+                hsv_prob=self.hsv_prob,
+            ),
+            cache=cache,
+            cache_type=cache_type,
+        )
+
+    def get_data_loader(self, batch_size, is_distributed=False, no_aug=False,
+                        cache_img: Optional[str] = None):
+        from yolox_tpu.data import (
+            DataLoader,
+            InfiniteSampler,
+            MosaicDetection,
+            TrainTransform,
+            YoloBatchSampler,
+        )
+        from yolox_tpu.parallel import process_count, process_index
+
+        if self.dataset is None:
+            assert cache_img is None, (
+                "cache_img must be None if you didn't create self.dataset "
+                "before launch")
+            self.dataset = self.get_dataset(cache=False)
+
+        dataset = MosaicDetection(
+            dataset=self.dataset,
+            mosaic=not no_aug,
+            img_size=self.input_size,
+            preproc=TrainTransform(
+                max_labels=120,
+                flip_prob=self.flip_prob,
+                hsv_prob=self.hsv_prob,
+            ),
+            degrees=self.degrees,
+            translate=self.translate,
+            mosaic_scale=self.mosaic_scale,
+            mixup_scale=self.mixup_scale,
+            shear=self.shear,
+            enable_mixup=self.enable_mixup,
+            mosaic_prob=self.mosaic_prob,
+            mixup_prob=self.mixup_prob,
+        )
+
+        # One JAX process per host: shard the per-step global batch by host.
+        if is_distributed:
+            batch_size = batch_size // process_count()
+
+        sampler = InfiniteSampler(
+            len(dataset),
+            seed=self.seed if self.seed else 0,
+            rank=process_index() if is_distributed else 0,
+            world_size=process_count() if is_distributed else 1,
+        )
+        batch_sampler = YoloBatchSampler(
+            sampler=sampler,
+            batch_size=batch_size,
+            mosaic=not no_aug,
+        )
+        return DataLoader(
+            dataset,
+            batch_sampler=batch_sampler,
+            num_workers=self.data_num_workers,
+            deterministic=self.deterministic,
+        )
+
+    def random_resize(self, rng: np.random.Generator):
+        """Sample a multiscale input size from the 32-aligned bucket set."""
+        size_factor = self.input_size[1] * 1.0 / self.input_size[0]
+        if self.random_size is None:
+            min_size = int(self.input_size[0] / 32) - self.multiscale_range
+            max_size = int(self.input_size[0] / 32) + self.multiscale_range
+            self.random_size = (min_size, max_size)
+        size = int(rng.integers(self.random_size[0], self.random_size[1] + 1))
+        return (int(32 * size), 32 * int(size * size_factor))
+
+    def get_optimizer(self, batch_size):
+        from yolox_tpu.core.optimizer import build_optimizer
+
+        lr = self.warmup_lr if self.warmup_epochs > 0 \
+            else self.basic_lr_per_img * batch_size
+        return build_optimizer(
+            lr=lr, momentum=self.momentum, weight_decay=self.weight_decay)
+
+    def get_lr_scheduler(self, lr, iters_per_epoch):
+        from yolox_tpu.utils.lr_scheduler import LRScheduler
+
+        return LRScheduler(
+            self.scheduler,
+            lr,
+            iters_per_epoch,
+            self.max_epoch,
+            warmup_epochs=self.warmup_epochs,
+            warmup_lr_start=self.warmup_lr,
+            no_aug_epochs=self.no_aug_epochs,
+            min_lr_ratio=self.min_lr_ratio,
+        )
+
+    def get_eval_dataset(self, **kwargs):
+        from yolox_tpu.data import CocoDataset, ValTransform
+
+        testdev = kwargs.get("testdev", False)
+        legacy = kwargs.get("legacy", False)
+        return CocoDataset(
+            data_dir=self.data_dir,
+            json_file=self.val_ann if not testdev else self.test_ann,
+            name="val2017" if not testdev else "test2017",
+            img_size=self.test_size,
+            preproc=ValTransform(legacy=legacy),
+        )
+
+    def get_eval_loader(self, batch_size, is_distributed=False, **kwargs):
+        from yolox_tpu.data import DataLoader, SequentialBatchSampler
+        from yolox_tpu.parallel import process_count, process_index
+
+        valdataset = self.get_eval_dataset(**kwargs)
+        if is_distributed:
+            batch_size = batch_size // process_count()
+        batch_sampler = SequentialBatchSampler(
+            len(valdataset),
+            batch_size=batch_size,
+            rank=process_index() if is_distributed else 0,
+            world_size=process_count() if is_distributed else 1,
+        )
+        return DataLoader(
+            valdataset,
+            batch_sampler=batch_sampler,
+            num_workers=self.data_num_workers,
+        )
+
+    def get_evaluator(self, batch_size, is_distributed=False, testdev=False,
+                      legacy=False):
+        from yolox_tpu.evaluators import CocoEvaluator
+
+        return CocoEvaluator(
+            dataloader=self.get_eval_loader(
+                batch_size, is_distributed, testdev=testdev, legacy=legacy),
+            img_size=self.test_size,
+            confthre=self.test_conf,
+            nmsthre=self.nmsthre,
+            num_classes=self.num_classes,
+            testdev=testdev,
+        )
+
+    def get_trainer(self, args):
+        from yolox_tpu.core import Trainer
+
+        return Trainer(self, args)
+
+    def eval(self, model, evaluator, is_distributed=False, half=False,
+             return_outputs=False):
+        return evaluator.evaluate(
+            model, is_distributed, half, return_outputs=return_outputs)
+
+
+def validate_config(config: YoloxConfig):
+    config.validate()
+
+
+class YoloxS(YoloxConfig):
+    def __init__(self):
+        super().__init__("yolox_s")
+        self.depth = 0.33
+        self.width = 0.50
+
+
+class YoloxM(YoloxConfig):
+    def __init__(self):
+        super().__init__("yolox_m")
+        self.depth = 0.67
+        self.width = 0.75
+
+
+class YoloxL(YoloxConfig):
+    def __init__(self):
+        super().__init__("yolox_l")
+        self.depth = 1.0
+        self.width = 1.0
+
+
+class YoloxX(YoloxConfig):
+    def __init__(self):
+        super().__init__("yolox_x")
+        self.depth = 1.33
+        self.width = 1.25
+
+
+class YoloxTiny(YoloxConfig):
+    def __init__(self):
+        super().__init__("yolox_tiny")
+        self.depth = 0.33
+        self.width = 0.375
+        self.input_size = (416, 416)
+        self.random_size = (10, 20)
+        self.mosaic_scale = (0.5, 1.5)
+        self.test_size = (416, 416)
+        self.enable_mixup = False
+
+
+class YoloxNano(YoloxConfig):
+    def __init__(self):
+        super().__init__("yolox_nano")
+        self.depth = 0.33
+        self.width = 0.25
+        self.depthwise = True
+        self.input_size = (416, 416)
+        self.random_size = (10, 20)
+        self.mosaic_scale = (0.5, 1.5)
+        self.test_size = (416, 416)
+        self.mosaic_prob = 0.5
+        self.enable_mixup = False
+
+
+# Registered as factories (fresh instance per lookup) so callers mutating a
+# config never poison the registry — the reference shares single instances
+# (`config.py:466-469`), a latent-bug pattern we deliberately fix.
+_NAMED_CONFIG = {
+    "yolox_s": YoloxS,
+    "yolox_m": YoloxM,
+    "yolox_l": YoloxL,
+    "yolox_x": YoloxX,
+    "yolox_tiny": YoloxTiny,
+    "yolox_nano": YoloxNano,
+}

@@ -1,0 +1,38 @@
+from yolox_tpu.models.blocks import (
+    BaseConv,
+    Bottleneck,
+    CspLayer,
+    DWConv,
+    Focus,
+    ResLayer,
+    Sequential,
+    SPPBottleneck,
+)
+from yolox_tpu.models.darknet import CspDarknet, Darknet
+from yolox_tpu.models.pafpn import YoloPafpn
+from yolox_tpu.models.yolo_fpn import YoloFpn
+from yolox_tpu.models.head import YoloxHead
+from yolox_tpu.models.losses import iou_loss
+from yolox_tpu.models.yolox import Yolox, YoloxModule
+from yolox_tpu.models.processor import Detections, YoloxProcessor
+
+__all__ = [
+    "BaseConv",
+    "Bottleneck",
+    "CspLayer",
+    "DWConv",
+    "Focus",
+    "ResLayer",
+    "Sequential",
+    "SPPBottleneck",
+    "CspDarknet",
+    "Darknet",
+    "YoloPafpn",
+    "YoloFpn",
+    "YoloxHead",
+    "iou_loss",
+    "Yolox",
+    "YoloxModule",
+    "YoloxProcessor",
+    "Detections",
+]

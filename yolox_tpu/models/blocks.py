@@ -1,0 +1,364 @@
+"""Convolutional building blocks, TPU-native (NHWC / HWIO layouts).
+
+Functional re-design of the reference block zoo
+(`/root/reference/yolox/models/network_blocks.py`): each block is a small
+Python object holding *static* configuration; parameters live in a nested
+dict pytree whose structure mirrors the upstream torch state-dict key
+hierarchy 1:1 (e.g. params["conv"]["weight"], params["bn"]["running_mean"]),
+so upstream `.pth` checkpoints convert with a pure key-preserving transpose
+(torch OIHW -> HWIO, see yolox_tpu/models/weights.py).
+
+Design notes (TPU-first):
+- NHWC activations and HWIO kernels: the native layouts for TPU conv.
+- All shapes static; blocks are pure functions of (params, x) and jit/vmap
+  cleanly.
+- BatchNorm train-mode statistics are *returned* via a `BNCollector`
+  (functional state threading), never mutated in place. Torch semantics are
+  reproduced exactly: normalization uses biased batch variance, the running
+  variance update uses the unbiased estimate, momentum 0.03 / eps 1e-3 as
+  set by the reference config factory (`yolox/config.py:159-166`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+_CONV_DN = ("NHWC", "HWIO", "NHWC")
+
+# BatchNorm hyperparameters: the reference resets every BN to eps=1e-3,
+# momentum=0.03 at model build time (`yolox/config.py:162-166`), and the
+# pretrained checkpoints were trained with those values.
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.03
+
+
+# ---------------------------------------------------------------------------
+# Activations (`yolox/models/network_blocks.py:15-24`)
+# ---------------------------------------------------------------------------
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def lrelu(x):
+    return jnp.where(x >= 0, x, 0.1 * x)
+
+
+_ACTS = {
+    "silu": silu,
+    "relu": jax.nn.relu,
+    "lrelu": lrelu,
+}
+
+
+def get_activation(name: str):
+    if name not in _ACTS:
+        raise AttributeError(f"Unsupported act type: {name}")
+    return _ACTS[name]
+
+
+# ---------------------------------------------------------------------------
+# Functional primitives
+# ---------------------------------------------------------------------------
+
+def conv2d(x, w, stride: int = 1, groups: int = 1):
+    """'Same'-padded conv matching torch Conv2d(padding=(k-1)//2)."""
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=_CONV_DN,
+        feature_group_count=groups,
+    )
+
+
+def max_pool_same(x, ksize: int):
+    """MaxPool2d(kernel_size=k, stride=1, padding=k//2), torch semantics."""
+    pad = ksize // 2
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, ksize, ksize, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+
+
+class BNCollector:
+    """Collects train-mode BatchNorm statistic updates, keyed by param path.
+
+    Functional replacement for torch's in-place running-stat mutation: the
+    training step merges `collector.updates` back into the state pytree.
+    """
+
+    def __init__(self):
+        self.updates: Dict[str, jnp.ndarray] = {}
+
+    def put(self, path: str, mean, var, num_batches):
+        self.updates[f"{path}.running_mean"] = mean
+        self.updates[f"{path}.running_var"] = var
+        self.updates[f"{path}.num_batches_tracked"] = num_batches
+
+
+@dataclass
+class Ctx:
+    """Per-call context: train-mode flag + BN statistic collector."""
+
+    train: bool = False
+    collector: Optional[BNCollector] = None
+
+
+EVAL_CTX = Ctx(train=False, collector=None)
+
+
+def batch_norm(p: Params, x, ctx: Ctx, path: str):
+    """BatchNorm2d over NHWC, torch-exact semantics (see module docstring)."""
+    gamma = p["weight"]
+    beta = p["bias"]
+    if ctx.train:
+        # Normalize with biased batch statistics (torch train mode).
+        mean = jnp.mean(x, axis=(0, 1, 2))
+        var = jnp.var(x, axis=(0, 1, 2))
+        if ctx.collector is not None:
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            m = BN_MOMENTUM
+            new_mean = (1 - m) * p["running_mean"] + m * mean
+            new_var = (1 - m) * p["running_var"] + m * unbiased
+            ctx.collector.put(
+                path, new_mean, new_var, p["num_batches_tracked"] + 1
+            )
+    else:
+        mean = p["running_mean"]
+        var = p["running_var"]
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + BN_EPS)
+    scale = (gamma * inv).astype(x.dtype)
+    bias = (beta - mean * gamma * inv).astype(x.dtype)
+    return x * scale + bias
+
+
+def init_bn(cout: int) -> Params:
+    # Init builds host numpy arrays; the module root does one device_put.
+    return {
+        "weight": np.ones((cout,), np.float32),
+        "bias": np.zeros((cout,), np.float32),
+        "running_mean": np.zeros((cout,), np.float32),
+        "running_var": np.ones((cout,), np.float32),
+        "num_batches_tracked": np.zeros((), np.int32),
+    }
+
+
+def init_conv_kernel(rng, k: int, cin: int, cout: int, groups: int = 1):
+    """Torch Conv2d default init (kaiming_uniform_(a=sqrt(5))) in HWIO.
+
+    `rng` is a host-side numpy Generator consumed sequentially (init happens
+    once on host; device RNG would pay a dispatch per parameter).
+    """
+    fan_in = (cin // groups) * k * k
+    bound = math.sqrt(1.0 / fan_in)
+    return rng.uniform(
+        -bound, bound, (k, k, cin // groups, cout)).astype(np.float32)
+
+
+def init_conv_bias(rng, k: int, cin: int, cout: int, groups: int = 1):
+    fan_in = (cin // groups) * k * k
+    bound = math.sqrt(1.0 / fan_in)
+    return rng.uniform(-bound, bound, (cout,)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Blocks (reference: yolox/models/network_blocks.py)
+# ---------------------------------------------------------------------------
+
+class Module:
+    """Minimal static-module base: subclasses define children + forward."""
+
+    def init(self, rng) -> Params:
+        raise NotImplementedError
+
+    def __call__(self, p: Params, x, ctx: Ctx = EVAL_CTX, path: str = ""):
+        raise NotImplementedError
+
+
+class Sequential(Module):
+    """Children keyed '0', '1', ... to mirror torch nn.Sequential keys."""
+
+    def __init__(self, *mods: Module):
+        self.mods = list(mods)
+
+    def init(self, rng) -> Params:
+        return {str(i): m.init(rng) for i, m in enumerate(self.mods)}
+
+    def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        for i, m in enumerate(self.mods):
+            x = m(p[str(i)], x, ctx, f"{path}.{i}")
+        return x
+
+
+class BaseConv(Module):
+    """Conv2d -> BatchNorm -> activation (`network_blocks.py:27-52`)."""
+
+    def __init__(self, cin, cout, ksize, stride, groups=1, act="silu"):
+        self.cin, self.cout = cin, cout
+        self.ksize, self.stride, self.groups = ksize, stride, groups
+        self.act = get_activation(act)
+
+    def init(self, rng) -> Params:
+        return {
+            "conv": {
+                "weight": init_conv_kernel(
+                    rng, self.ksize, self.cin, self.cout, self.groups
+                )
+            },
+            "bn": init_bn(self.cout),
+        }
+
+    def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        y = conv2d(x, p["conv"]["weight"], self.stride, self.groups)
+        y = batch_norm(p["bn"], y, ctx, f"{path}.bn")
+        return self.act(y)
+
+
+class DWConv(Module):
+    """Depthwise conv + pointwise conv (`network_blocks.py:55-74`)."""
+
+    def __init__(self, cin, cout, ksize, stride=1, act="silu"):
+        self.dconv = BaseConv(cin, cin, ksize, stride, groups=cin, act=act)
+        self.pconv = BaseConv(cin, cout, 1, 1, groups=1, act=act)
+
+    def init(self, rng) -> Params:
+        return {"dconv": self.dconv.init(rng), "pconv": self.pconv.init(rng)}
+
+    def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        x = self.dconv(p["dconv"], x, ctx, f"{path}.dconv")
+        return self.pconv(p["pconv"], x, ctx, f"{path}.pconv")
+
+
+class Bottleneck(Module):
+    """Standard bottleneck (`network_blocks.py:77-99`)."""
+
+    def __init__(self, cin, cout, shortcut=True, expansion=0.5,
+                 depthwise=False, act="silu"):
+        hidden = int(cout * expansion)
+        Conv = DWConv if depthwise else BaseConv
+        self.conv1 = BaseConv(cin, hidden, 1, 1, act=act)
+        self.conv2 = Conv(hidden, cout, 3, stride=1, act=act)
+        self.use_add = shortcut and cin == cout
+
+    def init(self, rng) -> Params:
+        return {"conv1": self.conv1.init(rng), "conv2": self.conv2.init(rng)}
+
+    def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        y = self.conv1(p["conv1"], x, ctx, f"{path}.conv1")
+        y = self.conv2(p["conv2"], y, ctx, f"{path}.conv2")
+        return y + x if self.use_add else y
+
+
+class ResLayer(Module):
+    """YOLOv3 residual layer (`network_blocks.py:102-117`)."""
+
+    def __init__(self, cin: int):
+        mid = cin // 2
+        self.layer1 = BaseConv(cin, mid, 1, 1, act="lrelu")
+        self.layer2 = BaseConv(mid, cin, 3, 1, act="lrelu")
+
+    def init(self, rng) -> Params:
+        return {"layer1": self.layer1.init(rng), "layer2": self.layer2.init(rng)}
+
+    def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        out = self.layer1(p["layer1"], x, ctx, f"{path}.layer1")
+        out = self.layer2(p["layer2"], out, ctx, f"{path}.layer2")
+        return x + out
+
+
+class SPPBottleneck(Module):
+    """Spatial pyramid pooling, kernels (5, 9, 13) (`network_blocks.py:120-142`)."""
+
+    def __init__(self, cin, cout, kernel_sizes=(5, 9, 13), activation="silu"):
+        hidden = cin // 2
+        self.kernel_sizes = kernel_sizes
+        self.conv1 = BaseConv(cin, hidden, 1, 1, act=activation)
+        self.conv2 = BaseConv(hidden * (len(kernel_sizes) + 1), cout, 1, 1,
+                              act=activation)
+
+    def init(self, rng) -> Params:
+        return {"conv1": self.conv1.init(rng), "conv2": self.conv2.init(rng)}
+
+    def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        x = self.conv1(p["conv1"], x, ctx, f"{path}.conv1")
+        pools = [max_pool_same(x, ks) for ks in self.kernel_sizes]
+        x = jnp.concatenate([x] + pools, axis=-1)
+        return self.conv2(p["conv2"], x, ctx, f"{path}.conv2")
+
+
+class CspLayer(Module):
+    """C3: CSP bottleneck with 3 convs (`network_blocks.py:145-183`)."""
+
+    def __init__(self, cin, cout, n=1, shortcut=True, expansion=0.5,
+                 depthwise=False, act="silu"):
+        hidden = int(cout * expansion)
+        self.conv1 = BaseConv(cin, hidden, 1, 1, act=act)
+        self.conv2 = BaseConv(cin, hidden, 1, 1, act=act)
+        self.conv3 = BaseConv(2 * hidden, cout, 1, 1, act=act)
+        self.m = Sequential(
+            *[
+                Bottleneck(hidden, hidden, shortcut, 1.0, depthwise, act=act)
+                for _ in range(n)
+            ]
+        )
+
+    def init(self, rng) -> Params:
+        return {
+            "conv1": self.conv1.init(rng),
+            "conv2": self.conv2.init(rng),
+            "conv3": self.conv3.init(rng),
+            "m": self.m.init(rng),
+        }
+
+    def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        x1 = self.conv1(p["conv1"], x, ctx, f"{path}.conv1")
+        x2 = self.conv2(p["conv2"], x, ctx, f"{path}.conv2")
+        x1 = self.m(p["m"], x1, ctx, f"{path}.m")
+        x = jnp.concatenate([x1, x2], axis=-1)
+        return self.conv3(p["conv3"], x, ctx, f"{path}.conv3")
+
+
+class Focus(Module):
+    """Space-to-depth 2x2 then conv (`network_blocks.py:186-208`).
+
+    Channel concat order (TL, BL, TR, BR) matches the reference so upstream
+    checkpoints' first-conv input channels line up.
+    """
+
+    def __init__(self, cin, cout, ksize=1, stride=1, act="silu"):
+        self.conv = BaseConv(cin * 4, cout, ksize, stride, act=act)
+
+    def init(self, rng) -> Params:
+        return {"conv": self.conv.init(rng)}
+
+    def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        tl = x[:, ::2, ::2, :]
+        tr = x[:, ::2, 1::2, :]
+        bl = x[:, 1::2, ::2, :]
+        br = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([tl, bl, tr, br], axis=-1)
+        return self.conv(p["conv"], x, ctx, f"{path}.conv")
+
+
+def upsample_nearest_2x(x):
+    """nn.Upsample(scale_factor=2, mode='nearest') over NHWC."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)

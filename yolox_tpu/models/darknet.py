@@ -1,0 +1,161 @@
+"""CSPDarknet and legacy Darknet-53 backbones (NHWC).
+
+Re-design of `/root/reference/yolox/models/darknet.py` — identical topology
+and parameter-tree keys, functional JAX execution.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from yolox_tpu.models.blocks import (
+    BaseConv,
+    CspLayer,
+    DWConv,
+    EVAL_CTX,
+    Focus,
+    Module,
+    Params,
+    ResLayer,
+    Sequential,
+    SPPBottleneck,
+)
+
+
+class CspDarknet(Module):
+    """CSPDarknet backbone (`darknet.py:95-177`): Focus stem, dark2..dark5.
+
+    Widths 64*w*{1,2,4,8,16}; depths round(3*d)*{1,3,3,1}; SPP in dark5.
+    Returns a dict of the requested feature maps.
+    """
+
+    def __init__(self, dep_mul, wid_mul,
+                 out_features=("dark3", "dark4", "dark5"),
+                 depthwise=False, act="silu"):
+        assert out_features, "please provide output features of Darknet"
+        self.out_features = out_features
+        Conv = DWConv if depthwise else BaseConv
+
+        base_channels = int(wid_mul * 64)
+        base_depth = max(round(dep_mul * 3), 1)
+
+        self.stem = Focus(3, base_channels, ksize=3, act=act)
+        self.dark2 = Sequential(
+            Conv(base_channels, base_channels * 2, 3, 2, act=act),
+            CspLayer(base_channels * 2, base_channels * 2, n=base_depth,
+                     depthwise=depthwise, act=act),
+        )
+        self.dark3 = Sequential(
+            Conv(base_channels * 2, base_channels * 4, 3, 2, act=act),
+            CspLayer(base_channels * 4, base_channels * 4, n=base_depth * 3,
+                     depthwise=depthwise, act=act),
+        )
+        self.dark4 = Sequential(
+            Conv(base_channels * 4, base_channels * 8, 3, 2, act=act),
+            CspLayer(base_channels * 8, base_channels * 8, n=base_depth * 3,
+                     depthwise=depthwise, act=act),
+        )
+        self.dark5 = Sequential(
+            Conv(base_channels * 8, base_channels * 16, 3, 2, act=act),
+            SPPBottleneck(base_channels * 16, base_channels * 16,
+                          activation=act),
+            CspLayer(base_channels * 16, base_channels * 16, n=base_depth,
+                     shortcut=False, depthwise=depthwise, act=act),
+        )
+
+    def init(self, rng) -> Params:
+        return {
+            "stem": self.stem.init(rng),
+            "dark2": self.dark2.init(rng),
+            "dark3": self.dark3.init(rng),
+            "dark4": self.dark4.init(rng),
+            "dark5": self.dark5.init(rng),
+        }
+
+    def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        outputs = {}
+        x = self.stem(p["stem"], x, ctx, f"{path}.stem")
+        outputs["stem"] = x
+        x = self.dark2(p["dark2"], x, ctx, f"{path}.dark2")
+        outputs["dark2"] = x
+        x = self.dark3(p["dark3"], x, ctx, f"{path}.dark3")
+        outputs["dark3"] = x
+        x = self.dark4(p["dark4"], x, ctx, f"{path}.dark4")
+        outputs["dark4"] = x
+        x = self.dark5(p["dark5"], x, ctx, f"{path}.dark5")
+        outputs["dark5"] = x
+        return {k: v for k, v in outputs.items() if k in self.out_features}
+
+
+class Darknet(Module):
+    """Legacy Darknet-21/53 backbone (`darknet.py:8-92`), lrelu activations."""
+
+    depth2blocks = {21: [1, 2, 2, 1], 53: [2, 8, 8, 4]}
+
+    def __init__(self, depth, in_channels=3, stem_out_channels=32,
+                 out_features=("dark3", "dark4", "dark5")):
+        assert out_features, "please provide output features of Darknet"
+        self.out_features = out_features
+        self.stem = Sequential(
+            BaseConv(in_channels, stem_out_channels, ksize=3, stride=1,
+                     act="lrelu"),
+            *self._group_layer(stem_out_channels, num_blocks=1, stride=2),
+        )
+        in_ch = stem_out_channels * 2
+
+        num_blocks = Darknet.depth2blocks[depth]
+        self.dark2 = Sequential(*self._group_layer(in_ch, num_blocks[0], 2))
+        in_ch *= 2
+        self.dark3 = Sequential(*self._group_layer(in_ch, num_blocks[1], 2))
+        in_ch *= 2
+        self.dark4 = Sequential(*self._group_layer(in_ch, num_blocks[2], 2))
+        in_ch *= 2
+        self.dark5 = Sequential(
+            *self._group_layer(in_ch, num_blocks[3], 2),
+            *self._spp_block([in_ch, in_ch * 2], in_ch * 2),
+        )
+
+    @staticmethod
+    def _group_layer(in_channels: int, num_blocks: int, stride: int = 1):
+        return [
+            BaseConv(in_channels, in_channels * 2, ksize=3, stride=stride,
+                     act="lrelu"),
+            *[ResLayer(in_channels * 2) for _ in range(num_blocks)],
+        ]
+
+    @staticmethod
+    def _spp_block(filters_list, in_filters):
+        return [
+            BaseConv(in_filters, filters_list[0], 1, stride=1, act="lrelu"),
+            BaseConv(filters_list[0], filters_list[1], 3, stride=1,
+                     act="lrelu"),
+            SPPBottleneck(filters_list[1], filters_list[0],
+                          activation="lrelu"),
+            BaseConv(filters_list[0], filters_list[1], 3, stride=1,
+                     act="lrelu"),
+            BaseConv(filters_list[1], filters_list[0], 1, stride=1,
+                     act="lrelu"),
+        ]
+
+    def init(self, rng) -> Params:
+        return {
+            "stem": self.stem.init(rng),
+            "dark2": self.dark2.init(rng),
+            "dark3": self.dark3.init(rng),
+            "dark4": self.dark4.init(rng),
+            "dark5": self.dark5.init(rng),
+        }
+
+    def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        outputs = {}
+        x = self.stem(p["stem"], x, ctx, f"{path}.stem")
+        outputs["stem"] = x
+        x = self.dark2(p["dark2"], x, ctx, f"{path}.dark2")
+        outputs["dark2"] = x
+        x = self.dark3(p["dark3"], x, ctx, f"{path}.dark3")
+        outputs["dark3"] = x
+        x = self.dark4(p["dark4"], x, ctx, f"{path}.dark4")
+        outputs["dark4"] = x
+        x = self.dark5(p["dark5"], x, ctx, f"{path}.dark5")
+        outputs["dark5"] = x
+        return {k: v for k, v in outputs.items() if k in self.out_features}

@@ -1,0 +1,235 @@
+"""Top-level Yolox API — re-design of `/root/reference/yolox/models/yolox.py`.
+
+`Yolox.from_pretrained("yolox_s")` + calling on PIL images / file paths
+returns `Detections` dicts, exactly like the reference. The module body is a
+jitted XLA graph over NHWC inputs; postprocessing (confidence filter + NMS)
+runs on device (`yolox_tpu/ops/nms.py`).
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.request
+from pathlib import Path
+from typing import Any, Iterable, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from yolox_tpu.config import YoloxConfig
+from yolox_tpu.models.blocks import BNCollector, Ctx
+from yolox_tpu.models.head import YoloxHead
+from yolox_tpu.models.pafpn import YoloPafpn
+from yolox_tpu.models.processor import Detections, YoloxProcessor
+from yolox_tpu.models.weights import load_pth_params
+
+HOME = Path(os.environ.get("YOLOX_HOME", str(Path.home() / ".cache" / "yolox")))
+
+_WEIGHTS_URL = (
+    "https://github.com/Megvii-BaseDetection/YOLOX/releases/download/"
+    "0.1.1rc0/{model_id}.pth"
+)
+
+
+class Yolox:
+    """module + processor wrapper (`yolox.py:22-52`)."""
+
+    module: "YoloxModule"
+    processor: YoloxProcessor
+
+    def __init__(self, module: "YoloxModule", processor: YoloxProcessor):
+        self.module = module
+        self.processor = processor
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        pretrained_model_name_or_path: Union[str, os.PathLike],
+        config: Optional[YoloxConfig] = None,
+        device: Optional[str] = None,
+        dtype: Any = jnp.float32,
+    ) -> "Yolox":
+        module = YoloxModule.from_pretrained(
+            pretrained_model_name_or_path, config, device, dtype=dtype)
+        processor = YoloxProcessor(
+            config or str(pretrained_model_name_or_path))
+        return cls(module, processor)
+
+    def __call__(
+        self,
+        inputs: Iterable[Union[Image.Image, str, os.PathLike]],
+        threshold: float = 0.5,
+    ) -> List[Detections]:
+        if isinstance(inputs, (np.ndarray, jnp.ndarray)):
+            # Back-compat: raw batched tensor in, decoded predictions out
+            # (deprecated pattern, `yolox.py:42-44`).
+            return self.module(inputs)
+        images: List[Image.Image] = [
+            image if isinstance(image, Image.Image) else Image.open(image)
+            for image in inputs
+        ]
+        batch = self.processor(images)
+        output = self.module(batch)
+        return self.processor.postprocess(images, output, threshold=threshold)
+
+
+class YoloxModule:
+    """The network: PAFPN backbone + decoupled head, jitted eval forward.
+
+    Functional core: static module definitions (`backbone`, `head`) +
+    a parameter pytree (`params`) mirroring upstream state-dict keys.
+    """
+
+    def __init__(
+        self,
+        backbone: Optional[YoloPafpn] = None,
+        head: Optional[YoloxHead] = None,
+        params: Optional[dict] = None,
+        config: Optional[YoloxConfig] = None,
+        dtype: Any = jnp.float32,
+    ):
+        self.backbone = backbone if backbone is not None else YoloPafpn()
+        self.head = head if head is not None else YoloxHead(80)
+        self.config = config
+        self.dtype = dtype
+        self.params = params
+
+        def _forward_eval(p, x):
+            if dtype != jnp.float32:
+                x = x.astype(dtype)
+            fpn_outs = self.backbone(p["backbone"], x)
+            out = self.head(p["head"], fpn_outs)
+            return out.astype(jnp.float32)
+
+        self._forward_eval = jax.jit(_forward_eval)
+
+    # ---------------- construction ----------------
+
+    @classmethod
+    def from_config(cls, config: YoloxConfig, rng_seed: int = 0,
+                    dtype: Any = jnp.float32) -> "YoloxModule":
+        in_channels = [256, 512, 1024]
+        backbone = YoloPafpn(config.depth, config.width,
+                             in_channels=in_channels,
+                             depthwise=config.depthwise, act=config.act)
+        head = YoloxHead(config.num_classes, config.width,
+                         in_channels=in_channels,
+                         depthwise=config.depthwise, act=config.act)
+        module = cls(backbone, head, config=config, dtype=dtype)
+        module.params = module.init(rng_seed)
+        return module
+
+    def init(self, rng_seed: int = 0) -> dict:
+        rng = np.random.default_rng(rng_seed)
+        params = {"backbone": self.backbone.init(rng),
+                  "head": self.head.init(rng)}
+        params = jax.tree.map(jnp.asarray, params)
+        if self.dtype != jnp.float32:
+            params = self.cast_params(params, self.dtype)
+        return params
+
+    @staticmethod
+    def cast_params(params: dict, dtype) -> dict:
+        def cast(x):
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+                return jnp.asarray(x, dtype)
+            return x
+
+        return jax.tree.map(cast, params)
+
+    # ---------------- forward ----------------
+
+    def __call__(self, x, params: Optional[dict] = None):
+        """Eval forward: decoded (B, n_anchors, 5 + num_classes), float32.
+
+        Accepts NHWC (native) or NCHW (reference layout, auto-transposed)
+        numpy/JAX arrays.
+        """
+        p = params if params is not None else self.params
+        x = jnp.asarray(x)
+        if x.ndim == 3:
+            x = x[None]
+        if x.shape[1] <= 4 and x.shape[3] > 4:  # NCHW -> NHWC
+            x = jnp.transpose(x, (0, 2, 3, 1))
+        if self.dtype != jnp.float32:
+            p = self.cast_params(p, self.dtype)
+        return self._forward_eval(p, x.astype(jnp.float32))
+
+    def apply_train(self, params: dict, x, collector: Optional[BNCollector]):
+        """Train-mode forward (pure): head training outputs + BN updates.
+
+        Used by the training step (`yolox_tpu/core/train_step.py`); loss and
+        SimOTA assignment live in `yolox_tpu/models/assign.py`.
+        """
+        ctx = Ctx(train=True, collector=collector)
+        fpn_outs = self.backbone(params["backbone"], x, ctx, "backbone")
+        return self.head.forward_train(params["head"], fpn_outs, ctx, "head")
+
+    # ---------------- pretrained loading ----------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        pretrained_model_name_or_path: Union[str, os.PathLike],
+        config: Optional[YoloxConfig] = None,
+        device: Optional[str] = None,  # kept for API parity; JAX manages placement
+        dtype: Any = jnp.float32,
+    ) -> "YoloxModule":
+        path = str(pretrained_model_name_or_path)
+        if os.path.isfile(path):
+            if config is None:
+                raise ValueError(
+                    "config must be provided when loading model from a file")
+        else:
+            config = YoloxConfig.get_named_config(path)
+            if config is None:
+                raise ValueError(
+                    f"Unknown model: {pretrained_model_name_or_path}")
+            path = cls._cached_pretrained_weights(path)
+        module = cls.from_config(config, dtype=dtype)
+        params = load_pth_params(path)
+        module.load_params(params)
+        return module
+
+    def load_params(self, params: dict, strict: bool = True):
+        """Install a converted checkpoint pytree, validating shapes."""
+        if strict and self.params is not None:
+            ref = jax.tree.map(lambda x: jnp.asarray(x).shape, self.params)
+            new = jax.tree.map(lambda x: jnp.asarray(x).shape, params)
+            if ref != new:
+                from yolox_tpu.models.weights import nested_to_flat
+
+                ref_f, new_f = nested_to_flat(ref), nested_to_flat(new)
+                missing = sorted(set(ref_f) - set(new_f))
+                unexpected = sorted(set(new_f) - set(ref_f))
+                mismatched = sorted(
+                    k for k in set(ref_f) & set(new_f) if ref_f[k] != new_f[k]
+                )
+                raise ValueError(
+                    "checkpoint/model mismatch: "
+                    f"missing={missing[:8]} unexpected={unexpected[:8]} "
+                    f"mismatched={mismatched[:8]}")
+        if self.dtype != jnp.float32:
+            params = self.cast_params(params, self.dtype)
+        self.params = params
+
+    @classmethod
+    def _cached_pretrained_weights(cls, model_id: str) -> str:
+        weights_dir = HOME / "weights"
+        weights_dir.mkdir(exist_ok=True, parents=True)
+        weights_file = weights_dir / f"{model_id}.pth"
+        if not weights_file.exists():
+            weights_url = _WEIGHTS_URL.format(model_id=model_id)
+            try:
+                urllib.request.urlretrieve(weights_url, f"{weights_file}.tmp")
+            except Exception as e:
+                raise RuntimeError(
+                    f"Could not download pretrained weights for {model_id!r} "
+                    f"from {weights_url} and none cached at {weights_file}. "
+                    "In offline environments, place the upstream .pth there "
+                    "manually."
+                ) from e
+            os.rename(f"{weights_file}.tmp", weights_file)
+        return str(weights_file)
