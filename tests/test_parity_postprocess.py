@@ -1,0 +1,117 @@
+"""Postprocess/NMS parity: reference pipeline vs yolox_tpu on controlled inputs.
+
+The reference path is `YoloxProcessor.postprocess` -> `utils.postprocess`
+(conf filter + torchvision batched_nms) -> rescale
+(`/root/reference/yolox/models/processor.py:39-54`, `yolox/utils/boxes.py:31-75`).
+torchvision is absent here, so the oracle uses a clean-room torch
+implementation of the documented torchvision NMS semantics
+(tests/_reference_oracle.py) — independent of the JAX implementation under
+test.
+
+Synthetic decoded predictions give full control over overlaps, score spread,
+and class collisions (a randomly initialized backbone yields degenerate
+near-constant scores, see git history).
+"""
+
+import numpy as np
+import pytest
+
+from tests._reference_oracle import load_reference, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="/root/reference not available")
+
+
+class _FakeImage:
+    def __init__(self, h, w):
+        self.height = h
+        self.width = w
+
+
+def _synthetic_predictions(seed, batch, n_anchors, num_classes,
+                           n_clusters=40):
+    """Decoded (cx, cy, w, h, obj, cls...) with heavy real overlap.
+
+    Boxes are drawn around a few cluster centers so NMS does real
+    suppression; scores/classes spread over their full ranges.
+    """
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(50, 590, (batch, n_clusters, 2))
+    which = rng.integers(0, n_clusters, (batch, n_anchors))
+    cxy = np.take_along_axis(
+        centers, which[..., None].repeat(2, -1), axis=1
+    ) + rng.normal(0, 12, (batch, n_anchors, 2))
+    wh = rng.uniform(10, 120, (batch, n_anchors, 2))
+    obj = rng.uniform(0, 1, (batch, n_anchors, 1)) ** 2
+    cls = rng.uniform(0, 1, (batch, n_anchors, num_classes)) ** 4
+    return np.concatenate([cxy, wh, obj, cls], axis=-1).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("threshold", [0.25, 0.55])
+def test_postprocess_parity(seed, threshold):
+    import torch
+
+    load_reference()
+    from yolox.config import YoloxConfig as RefConfig
+    from yolox.models.processor import YoloxProcessor as RefProcessor
+
+    from yolox_tpu import YoloxConfig, YoloxProcessor
+
+    num_classes = 80
+    preds = _synthetic_predictions(seed, 3, 2000, num_classes)
+    images = [_FakeImage(480, 640), _FakeImage(640, 480), _FakeImage(333, 500)]
+
+    ref_proc = RefProcessor(RefConfig.get_named_config("yolox_s"))
+    ref_dets = ref_proc.postprocess(
+        images, torch.from_numpy(preds.copy()), threshold=threshold)
+
+    our_proc = YoloxProcessor(YoloxConfig.get_named_config("yolox_s"))
+    our_dets = our_proc.postprocess(images, preds, threshold=threshold)
+
+    for r, o in zip(ref_dets, our_dets):
+        assert len(r["labels"]) > 0, "degenerate test: no detections"
+        assert o["labels"] == r["labels"]
+        np.testing.assert_allclose(
+            np.array(o["scores"]), np.array(r["scores"]), atol=1e-4)
+        np.testing.assert_allclose(
+            np.array(o["bboxes"]), np.array(r["bboxes"]), atol=1e-2)
+
+
+def test_class_agnostic_nms_parity():
+    import torch
+
+    load_reference()
+    from yolox.utils import postprocess as ref_postprocess
+
+    from yolox_tpu.ops.nms import postprocess_device
+
+    preds = _synthetic_predictions(7, 2, 1500, 80)
+    ref_out = ref_postprocess(
+        torch.from_numpy(preds.copy()), 80, conf_thre=0.3, nms_thre=0.65,
+        class_agnostic=True)
+    dets, valid = postprocess_device(
+        preds, 80, conf_thre=0.3, nms_thre=0.65, class_agnostic=True)
+    for i in range(2):
+        ref_rows = ref_out[i].numpy()
+        our_rows = np.asarray(dets[i])[np.asarray(valid[i])]
+        assert ref_rows.shape == our_rows.shape
+        np.testing.assert_allclose(our_rows, ref_rows, atol=1e-4)
+
+
+def test_preproc_matches_reference():
+    import glob
+
+    from PIL import Image
+
+    load_reference()
+    from yolox.data.data_augment import ValTransform
+
+    from yolox_tpu.ops.preproc import preproc
+
+    vt = ValTransform(legacy=False)
+    for path in sorted(glob.glob("/root/reference/tests/data/*.jpg")):
+        img = np.array(Image.open(path))
+        ref_img, _ = vt(img, None, (640, 640))          # CHW
+        ours, r = preproc(img, (640, 640))               # HWC
+        np.testing.assert_array_equal(ours.transpose(2, 0, 1), ref_img)
