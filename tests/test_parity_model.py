@@ -21,6 +21,9 @@ def _torch_model(name: str):
     ref = load_reference()
     torch.manual_seed(0)
     cfg = ref.config.YoloxConfig.get_named_config(name)
+    # the reference registry shares config instances and get_model() caches
+    # the model on the config (`config.py:168,466-469`) — reset for isolation
+    cfg.model = None
     model = cfg.get_model()
     model.eval()
     model.head.training = False

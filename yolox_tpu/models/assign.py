@@ -1,0 +1,235 @@
+"""SimOTA dynamic label assignment + training losses, batched for TPU.
+
+Re-design of the reference assignment/loss stack
+(`/root/reference/yolox/models/yolo_head.py:253-574`). The reference loops
+over images in Python and boolean-indexes candidate anchors (dynamic
+shapes); here the whole batch is one fixed-shape vmapped computation:
+
+  - padded ground-truth labels (M, 5) rows of (cls, cx, cy, w, h), zero rows
+    = padding (the reference data pipeline already pads to max_labels,
+    `data_augment.py:203-207`; `nlabel` semantics of `yolo_head.py:269`).
+  - candidate filtering by masking (big-constant costs) instead of gather,
+  - dynamic-k selection via a fixed top-10 + rank mask
+    (dynamic_k <= 10 always: it is int(sum of top-10 IoUs) <= 10),
+  - conflict resolution via argmin over the gt axis.
+
+All assignment outputs are stop_gradient'ed (the reference runs assignment
+under @torch.no_grad, `yolo_head.py:420`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from yolox_tpu.models.losses import bce_with_logits, iou_loss
+
+BIG = 1e9          # excludes non-candidate anchors / padded gts from matching
+GEOM_PENALTY = 1e6  # reference's soft penalty for outside-center candidates
+CENTER_RADIUS = 1.5
+N_CANDIDATE_K = 10
+
+
+def _pairwise_iou_cxcywh(gt, pred):
+    """IoU of gt (G,4) x pred (A,4), cxcywh, reference formula
+    (`boxes.py:88-101`): strict tl<br intersection, no eps."""
+    tl = jnp.maximum(gt[:, None, :2] - gt[:, None, 2:] / 2,
+                     pred[None, :, :2] - pred[None, :, 2:] / 2)
+    br = jnp.minimum(gt[:, None, :2] + gt[:, None, 2:] / 2,
+                     pred[None, :, :2] + pred[None, :, 2:] / 2)
+    area_g = jnp.prod(gt[:, 2:], axis=1)
+    area_p = jnp.prod(pred[:, 2:], axis=1)
+    en = jnp.all(tl < br, axis=2).astype(gt.dtype)
+    area_i = jnp.prod(br - tl, axis=2) * en
+    return area_i / (area_g[:, None] + area_p[None, :] - area_i)
+
+
+def _clamped_log(x):
+    """log with torch BCE's -100 clamp (F.binary_cross_entropy)."""
+    return jnp.maximum(jnp.log(x), -100.0)
+
+
+def simota_assign(
+    gt_labels,          # (M, 5): (cls, cx, cy, w, h); zero rows = padding
+    bbox_preds,         # (A, 4) cxcywh, image space
+    obj_logits,         # (A,)
+    cls_logits,         # (A, C)
+    x_shifts,           # (A,)
+    y_shifts,           # (A,)
+    strides,            # (A,)
+    num_classes: int,
+) -> Dict[str, jnp.ndarray]:
+    """Single-image SimOTA. vmap over the batch dimension.
+
+    Returns (all fixed-shape):
+      fg_mask: (A,) bool — anchors assigned to some gt
+      matched_gt: (A,) int32 — index of matched gt (0 where ~fg)
+      matched_iou: (A,) f32 — IoU with matched gt (0 where ~fg)
+      num_fg: () f32, num_gt: () f32
+    """
+    gt_mask = jnp.sum(gt_labels, axis=1) > 0           # (M,)
+    gt_cls = gt_labels[:, 0].astype(jnp.int32)
+    gt_boxes = gt_labels[:, 1:5]
+
+    # ---- geometry constraint (`yolo_head.py:511-540`) ----
+    xc = (x_shifts + 0.5) * strides                     # (A,)
+    yc = (y_shifts + 0.5) * strides
+    radius = CENTER_RADIUS * strides                    # (A,)
+    in_center = (
+        (jnp.abs(xc[None, :] - gt_boxes[:, 0:1]) < radius[None, :])
+        & (jnp.abs(yc[None, :] - gt_boxes[:, 1:2]) < radius[None, :])
+        & gt_mask[:, None]
+    )                                                   # (M, A)
+    candidate = jnp.any(in_center, axis=0)              # (A,) anchor_filter
+
+    # ---- pairwise IoU over candidates (`yolo_head.py:461`) ----
+    ious = _pairwise_iou_cxcywh(gt_boxes, bbox_preds)   # (M, A)
+    ious = jnp.where(candidate[None, :] & gt_mask[:, None], ious, 0.0)
+
+    # ---- classification cost, fp32 (`yolo_head.py:472-480`) ----
+    p = jnp.sqrt(
+        jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+        * jax.nn.sigmoid(obj_logits.astype(jnp.float32))[:, None]
+    )                                                   # (A, C)
+    # sum_c BCE(p_c, onehot_g) = -sum_c log(1-p_c) - log(p_g) + log(1-p_g)
+    # (O(A*C + M*A) instead of materializing the (M, A, C) BCE tensor)
+    log_p = _clamped_log(p)
+    log_1mp = _clamped_log(1.0 - p)
+    s_neg = -jnp.sum(log_1mp, axis=1)                   # (A,)
+    lp_g = log_p[:, gt_cls].T                           # (M, A)
+    l1mp_g = log_1mp[:, gt_cls].T
+    cls_cost = s_neg[None, :] - lp_g + l1mp_g           # (M, A)
+
+    iou_cost = -jnp.log(ious + 1e-8)
+    cost = (
+        cls_cost
+        + 3.0 * iou_cost
+        + GEOM_PENALTY * (~in_center).astype(jnp.float32)
+    )
+    # Exclude non-candidates and padded gts outright (the reference gathers
+    # candidates instead; BIG dominates any candidate cost).
+    cost = jnp.where(candidate[None, :] & gt_mask[:, None], cost, BIG)
+
+    # ---- dynamic-k matching (`yolo_head.py:542-574`) ----
+    a = ious.shape[1]
+    k_pool = min(N_CANDIDATE_K, a)
+    topk_ious, _ = jax.lax.top_k(ious, k_pool)          # (M, k_pool)
+    dynamic_ks = jnp.clip(
+        jnp.sum(topk_ious, axis=1).astype(jnp.int32), 1, None)  # (M,)
+
+    neg_cost_topv, topk_idx = jax.lax.top_k(-cost, k_pool)      # (M, k_pool)
+    rank = jnp.arange(k_pool)[None, :]
+    select = (rank < dynamic_ks[:, None]) & gt_mask[:, None]    # (M, k_pool)
+    # never select a masked-out slot (pathological no-candidate case)
+    select &= neg_cost_topv > -BIG / 2
+
+    m = gt_labels.shape[0]
+    matching = jnp.zeros((m, a), jnp.bool_)
+    matching = jax.vmap(
+        lambda row, idx, sel: row.at[idx].set(sel)
+    )(matching, topk_idx, select)                        # (M, A)
+
+    # conflict resolution: anchor matched by >1 gt -> keep argmin cost
+    n_match = jnp.sum(matching, axis=0)                  # (A,)
+    cost_masked = jnp.where(matching, cost, BIG)
+    best_gt = jnp.argmin(cost_masked, axis=0)            # (A,)
+    onehot_best = jax.nn.one_hot(best_gt, m, dtype=jnp.bool_).T
+    matching = jnp.where(n_match[None, :] > 1, onehot_best, matching)
+
+    fg_mask = jnp.any(matching, axis=0)                  # (A,)
+    matched_gt = jnp.argmax(matching, axis=0).astype(jnp.int32)
+    matched_iou = jnp.sum(
+        jnp.where(matching, ious, 0.0), axis=0)
+
+    out = {
+        "fg_mask": fg_mask,
+        "matched_gt": matched_gt,
+        "matched_iou": matched_iou,
+        "num_fg": jnp.sum(fg_mask).astype(jnp.float32),
+        "num_gt": jnp.sum(gt_mask).astype(jnp.float32),
+    }
+    return jax.tree.map(jax.lax.stop_gradient, out)
+
+
+def compute_losses(
+    head_out: Dict[str, jnp.ndarray],
+    labels,                       # (B, M, 5)
+    num_classes: int,
+    use_l1: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Batched YOLOX losses (`yolo_head.py:253-411`).
+
+    head_out is the dict from YoloxHead.forward_train. Returns the same loss
+    dict the reference trainer logs: total_loss, iou_loss, l1_loss,
+    conf_loss, cls_loss, num_fg (fg-per-gt ratio).
+    """
+    outputs = head_out["outputs"].astype(jnp.float32)   # (B, A, 5+C)
+    bbox_preds = outputs[..., :4]
+    obj_logits = outputs[..., 4]
+    cls_logits = outputs[..., 5:]
+    x_shifts = head_out["x_shifts"].astype(jnp.float32)
+    y_shifts = head_out["y_shifts"].astype(jnp.float32)
+    strides = head_out["expanded_strides"].astype(jnp.float32)
+
+    assign = jax.vmap(
+        lambda lab, bp, ol, cl: simota_assign(
+            lab, bp, ol, cl, x_shifts, y_shifts, strides, num_classes)
+    )(labels.astype(jnp.float32), bbox_preds, obj_logits, cls_logits)
+
+    fg = assign["fg_mask"]                               # (B, A)
+    fg_f = fg.astype(jnp.float32)
+    matched_gt = assign["matched_gt"]                    # (B, A)
+    num_fg_total = jnp.maximum(jnp.sum(assign["num_fg"]), 1.0)
+    num_gts_total = jnp.maximum(jnp.sum(assign["num_gt"]), 1.0)
+
+    gt_boxes = labels[..., 1:5].astype(jnp.float32)      # (B, M, 4)
+    gt_cls = labels[..., 0].astype(jnp.int32)            # (B, M)
+
+    reg_target = jnp.take_along_axis(
+        gt_boxes, matched_gt[..., None], axis=1)         # (B, A, 4)
+    matched_cls = jnp.take_along_axis(gt_cls, matched_gt, axis=1)  # (B, A)
+    cls_target = (
+        jax.nn.one_hot(matched_cls, num_classes, dtype=jnp.float32)
+        * assign["matched_iou"][..., None]
+    )
+
+    loss_iou = jnp.sum(
+        iou_loss(bbox_preds, reg_target) * fg_f) / num_fg_total
+    loss_obj = jnp.sum(
+        bce_with_logits(obj_logits, fg_f)) / num_fg_total
+    loss_cls = jnp.sum(
+        jnp.sum(bce_with_logits(cls_logits, cls_target), axis=-1) * fg_f
+    ) / num_fg_total
+
+    if use_l1:
+        # grid-space L1 target (`yolo_head.py:413-418`)
+        eps = 1e-8
+        l1_target = jnp.stack(
+            [
+                reg_target[..., 0] / strides[None] - x_shifts[None],
+                reg_target[..., 1] / strides[None] - y_shifts[None],
+                jnp.log(reg_target[..., 2] / strides[None] + eps),
+                jnp.log(reg_target[..., 3] / strides[None] + eps),
+            ],
+            axis=-1,
+        )
+        origin_reg = head_out["origin_reg"].astype(jnp.float32)
+        loss_l1 = jnp.sum(
+            jnp.sum(jnp.abs(origin_reg - l1_target), axis=-1) * fg_f
+        ) / num_fg_total
+    else:
+        loss_l1 = jnp.float32(0.0)
+
+    reg_weight = 5.0
+    total = reg_weight * loss_iou + loss_obj + loss_cls + loss_l1
+    return {
+        "total_loss": total,
+        "iou_loss": reg_weight * loss_iou,
+        "l1_loss": loss_l1,
+        "conf_loss": loss_obj,
+        "cls_loss": loss_cls,
+        "num_fg": jnp.sum(assign["num_fg"]) / num_gts_total,
+    }
