@@ -1,0 +1,162 @@
+"""Training-step tests: optimizer/EMA/scheduler parity + distributed DP.
+
+The distributed test exploits an exact invariant: when every mesh replica
+sees the identical local batch, the data-parallel step (per-replica BN,
+pmean'd grads) must produce bitwise-matching state to a single-device step
+on that batch.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _toy_batch(size=64, batch=2):
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 255, (batch, size, size, 3)).astype(np.float32)
+    labels = np.zeros((batch, 8, 5), np.float32)
+    labels[:, 0] = [1, size / 2, size / 2, size / 3, size / 3]
+    labels[:, 1] = [5, size / 4, size / 4, size / 4, size / 5]
+    return x, labels
+
+
+@pytest.fixture(scope="module")
+def tiny_module():
+    from yolox_tpu import YoloxConfig, YoloxModule
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")  # smallest/fastest
+    return YoloxModule.from_config(cfg), cfg
+
+
+def test_loss_decreases(tiny_module):
+    from yolox_tpu.core import init_train_state, make_train_step
+
+    module, cfg = tiny_module
+    state = init_train_state(module.params)
+    step = make_train_step(module, cfg.num_classes)
+    x, labels = _toy_batch()
+    first = last = None
+    for _ in range(8):
+        state, m = step(state, x, labels, jnp.float32(0.02))
+        last = float(m["total_loss"])
+        first = first if first is not None else last
+    assert last < first
+
+
+def test_distributed_matches_single_device(tiny_module):
+    from yolox_tpu.core import init_train_state, make_train_step
+    from yolox_tpu.parallel.mesh import (
+        data_parallel_mesh, replicate, shard_batch)
+
+    module, cfg = tiny_module
+    n = min(8, jax.device_count())
+    assert n >= 2, "conftest should provide 8 virtual devices"
+
+    x, labels = _toy_batch(batch=2)
+
+    # single device
+    state1 = init_train_state(module.params)
+    step1 = make_train_step(module, cfg.num_classes)
+    state1, m1 = step1(state1, x, labels, jnp.float32(0.01))
+
+    # n devices, identical local batch on each replica
+    mesh = data_parallel_mesh(n)
+    xn = np.tile(x, (n, 1, 1, 1))
+    labelsn = np.tile(labels, (n, 1, 1))
+    staten = replicate(mesh, init_train_state(module.params))
+    stepn = make_train_step(module, cfg.num_classes, mesh=mesh)
+    xn, labelsn = shard_batch(mesh, xn, labelsn)
+    staten, mn = stepn(staten, xn, labelsn, jnp.float32(0.01))
+
+    assert float(mn["total_loss"]) == pytest.approx(
+        float(m1["total_loss"]), rel=1e-5)
+    p1 = jax.tree.leaves(state1["params"])
+    pn = jax.tree.leaves(staten["params"])
+    for a, b in zip(p1, pn):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    s1 = jax.tree.leaves(state1["stats"])
+    sn = jax.tree.leaves(staten["stats"])
+    for a, b in zip(s1, sn):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_sgd_matches_torch():
+    import torch
+
+    from yolox_tpu.core.optimizer import init_momentum, sgd_update
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(4, 4)).astype(np.float32)   # "conv weight": decay
+    b = rng.normal(size=(4,)).astype(np.float32)     # "bias": no decay
+    g_w = [rng.normal(size=(4, 4)).astype(np.float32) for _ in range(3)]
+    g_b = [rng.normal(size=(4,)).astype(np.float32) for _ in range(3)]
+
+    tw = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b.copy()))
+    opt = torch.optim.SGD([tw], lr=0.01, momentum=0.9, nesterov=True,
+                          weight_decay=5e-4)
+    opt.add_param_group({"params": [tb], "weight_decay": 0.0})
+    for gw, gb in zip(g_w, g_b):
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(gw.copy())
+        tb.grad = torch.from_numpy(gb.copy())
+        opt.step()
+
+    params = {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
+    # hand-build the mask (weight_decay_mask wants 4-D conv kernels)
+    mask = {"weight": 1.0, "bias": 0.0}
+    buf = init_momentum(params)
+    for gw, gb in zip(g_w, g_b):
+        grads = {"weight": jnp.asarray(gw), "bias": jnp.asarray(gb)}
+        params, buf = sgd_update(params, grads, buf, mask, lr=0.01,
+                                 momentum=0.9, weight_decay=5e-4)
+
+    np.testing.assert_allclose(np.asarray(params["weight"]),
+                               tw.detach().numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(params["bias"]),
+                               tb.detach().numpy(), rtol=1e-6, atol=1e-7)
+
+
+def test_ema_matches_reference_formula():
+    from yolox_tpu.utils.ema import ema_update, init_ema
+
+    p0 = {"w": jnp.ones((3,)) * 2.0, "n": jnp.zeros((), jnp.int32)}
+    ema = init_ema(p0)
+    p1 = {"w": jnp.ones((3,)) * 4.0, "n": jnp.ones((), jnp.int32)}
+    ema = ema_update(ema, p1, jnp.int32(1), decay=0.9998)
+    d = 0.9998 * (1 - np.exp(-1 / 2000))
+    expect = 2.0 * d + 4.0 * (1 - d)
+    np.testing.assert_allclose(np.asarray(ema["w"]), expect, rtol=1e-6)
+    assert int(ema["n"]) == 1  # non-float leaves copy through
+
+
+def test_lr_scheduler_matches_reference():
+    from tests._reference_oracle import load_reference, reference_available
+
+    if not reference_available():
+        pytest.skip("/root/reference not available")
+    load_reference()
+    from yolox.utils.lr_scheduler import LRScheduler as RefLR
+
+    from yolox_tpu.utils.lr_scheduler import LRScheduler
+
+    kwargs = dict(warmup_epochs=5, warmup_lr_start=0, no_aug_epochs=15,
+                  min_lr_ratio=0.05)
+    ref = RefLR("yoloxwarmcos", 0.01, 100, 300, **kwargs)
+    ours = LRScheduler("yoloxwarmcos", 0.01, 100, 300, **kwargs)
+    for it in [0, 1, 250, 499, 500, 501, 5000, 15000, 28499, 28500, 29999]:
+        assert ours.update_lr(it) == pytest.approx(ref.update_lr(it),
+                                                   rel=1e-12), it
+    for name in ("cos", "warmcos", "multistep"):
+        kw = dict(kwargs)
+        if name == "multistep":
+            kw["milestones"] = [150, 250]
+        ref = RefLR(name, 0.01, 50, 300, **kw)
+        ours = LRScheduler(name, 0.01, 50, 300, **kw)
+        for it in [0, 10, 100, 5000, 14999]:
+            assert ours.update_lr(it) == pytest.approx(
+                ref.update_lr(it), rel=1e-12), (name, it)

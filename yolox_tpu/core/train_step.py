@@ -1,0 +1,142 @@
+"""The jitted training step: forward + SimOTA loss + SGD + EMA + BN stats.
+
+Data parallelism is expressed with `jax.shard_map` over a 1-D 'data' mesh
+(ICI-routed collectives), reproducing the reference's DDP semantics
+(SURVEY.md §2.9):
+
+  - per-replica BatchNorm batch statistics (the reference does NOT sync BN
+    in the forward; each GPU normalizes with its local batch),
+  - gradient mean over replicas (DDP allreduce),
+  - per-replica loss normalized by the local num_fg (DDP averages grads of
+    per-rank-normalized losses),
+  - BN running stats pmean'd every step — mathematically identical to the
+    reference's lazy `all_reduce_norm` before eval, because the EMA update
+    is linear in the per-step batch statistics.
+
+The whole step (model fwd/bwd, assignment, optimizer, EMA) is ONE compiled
+XLA program; the host only feeds batches and the LR scalar.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from yolox_tpu.core.optimizer import init_momentum, sgd_update
+from yolox_tpu.models.assign import compute_losses
+from yolox_tpu.models.blocks import BNCollector
+from yolox_tpu.models.weights import (
+    apply_flat_updates,
+    merge_params,
+    split_train_state,
+    weight_decay_mask,
+)
+from yolox_tpu.parallel.mesh import DATA_AXIS
+from yolox_tpu.utils.ema import ema_update, init_ema
+
+TrainState = Dict[str, Any]
+
+
+def init_train_state(params, use_ema: bool = True) -> TrainState:
+    """Build the training state pytree from a full parameter tree.
+
+    Copies every leaf: the train step donates its input state, so the state
+    must never alias the caller's (module's) parameter arrays.
+    """
+    params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    trainable, stats = split_train_state(params)
+    state: TrainState = {
+        "params": trainable,
+        "stats": stats,
+        "momentum": init_momentum(trainable),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    if use_ema:
+        state["ema"] = init_ema(params)
+        state["ema_updates"] = jnp.zeros((), jnp.int32)
+    return state
+
+
+def full_params(state: TrainState):
+    return merge_params(state["params"], state["stats"])
+
+
+def make_train_step(
+    module,
+    num_classes: int,
+    *,
+    momentum: float = 0.9,
+    weight_decay: float = 5e-4,
+    ema_decay: float = 0.9998,
+    use_ema: bool = True,
+    mesh: Optional[Mesh] = None,
+    compute_dtype=jnp.float32,
+    use_l1: bool = False,
+):
+    """Returns step(state, x, labels, lr) -> (state, metrics).
+
+    x: (B, H, W, 3) f32; labels: (B, M, 5); lr: scalar. use_l1 is baked in
+    (the trainer builds a second step when the no-aug phase enables L1).
+    With a mesh, x/labels must be sharded along the batch axis and the state
+    replicated (`yolox_tpu/parallel/mesh.py` helpers).
+    """
+    distributed = mesh is not None
+
+    def pmean_floats(tree):
+        return jax.tree.map(
+            lambda t: jax.lax.pmean(t, DATA_AXIS)
+            if jnp.issubdtype(t.dtype, jnp.inexact) else t,
+            tree,
+        )
+
+    def step_local(state, x, labels, lr):
+        wd_mask = weight_decay_mask(state["params"])
+
+        def loss_fn(trainable):
+            params = merge_params(trainable, state["stats"])
+            collector = BNCollector()
+            xin = x.astype(compute_dtype)
+            head_out = module.apply_train(params, xin, collector)
+            losses = compute_losses(head_out, labels, num_classes, use_l1)
+            return losses["total_loss"], (losses, collector.updates)
+
+        (_, (losses, bn_updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+
+        if distributed:
+            grads = pmean_floats(grads)
+            bn_updates = pmean_floats(bn_updates)
+            losses = pmean_floats(losses)
+
+        new_params, new_momentum = sgd_update(
+            state["params"], grads, state["momentum"], wd_mask,
+            lr=lr, momentum=momentum, weight_decay=weight_decay)
+        new_stats = apply_flat_updates(state["stats"], bn_updates)
+
+        new_state = dict(state)
+        new_state["params"] = new_params
+        new_state["stats"] = new_stats
+        new_state["momentum"] = new_momentum
+        new_state["step"] = state["step"] + 1
+        if use_ema:
+            updates = state["ema_updates"] + 1
+            new_state["ema"] = ema_update(
+                state["ema"], merge_params(new_params, new_stats),
+                updates, ema_decay)
+            new_state["ema_updates"] = updates
+        return new_state, losses
+
+    if distributed:
+        step_local = jax.shard_map(
+            step_local,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+    return jax.jit(step_local, donate_argnums=(0,))

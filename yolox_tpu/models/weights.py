@@ -112,3 +112,69 @@ def param_census(tree: Pytree) -> Dict[str, tuple]:
             shape = (shape[3], shape[2], shape[0], shape[1])  # back to OIHW
         out[key] = shape
     return out
+
+
+# ---------------------------------------------------------------------------
+# Train-state partitioning: trainable floats vs BatchNorm statistics
+# ---------------------------------------------------------------------------
+
+STAT_LEAF_KEYS = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def _partition(tree: Pytree, pick_stats: bool) -> Pytree:
+    out: Pytree = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            sub = _partition(v, pick_stats)
+            if sub:
+                out[k] = sub
+        elif (k in STAT_LEAF_KEYS) == pick_stats:
+            out[k] = v
+    return out
+
+
+def split_train_state(params: Pytree):
+    """params -> (trainable, stats). Both keep the nested key structure."""
+    return _partition(params, False), _partition(params, True)
+
+
+def merge_params(trainable: Pytree, stats: Pytree) -> Pytree:
+    """Inverse of split_train_state."""
+    out: Pytree = {}
+    for k in set(trainable) | set(stats):
+        a, b = trainable.get(k), stats.get(k)
+        if isinstance(a, dict) or isinstance(b, dict):
+            out[k] = merge_params(a or {}, b or {})
+        else:
+            out[k] = a if a is not None else b
+    return out
+
+
+def apply_flat_updates(params: Pytree, updates: dict) -> Pytree:
+    """Merge {dotted-path: value} updates (e.g. BNCollector output) into a
+    nested tree, returning a new tree."""
+    flat = nested_to_flat(params)
+    for k, v in updates.items():
+        assert k in flat, f"unknown update path: {k}"
+        flat[k] = v
+    return flat_to_nested(flat)
+
+
+def weight_decay_mask(trainable: Pytree) -> Pytree:
+    """1.0 where weight decay applies, 0.0 elsewhere.
+
+    Mirrors the reference's three optimizer groups (`config.py:307-331`):
+    conv weights (ndim == 4) decay; BN gammas (1-D 'weight') and all biases
+    don't.
+    """
+    def leaf(path_key, value):
+        # value may be a traced array — use .ndim, never np.asarray
+        return 1.0 if (path_key == "weight" and value.ndim == 4) else 0.0
+
+    def rec(tree):
+        return {
+            k: rec(v) if isinstance(v, dict) else leaf(k, v)
+            for k, v in tree.items()
+        }
+
+    return rec(trainable)

@@ -1,0 +1,66 @@
+"""Device mesh + data-parallel sharding helpers.
+
+TPU-native replacement for the reference's torch.distributed/NCCL stack
+(`/root/reference/yolox/utils/dist.py`, `yolox/core/launch.py`): no process
+spawning per device — JAX runs one process per host, the mesh spans all
+devices, and collectives are expressed in-program (`lax.pmean` inside
+shard_map). DCN multi-host works through `jax.distributed.initialize` with
+the same code path.
+
+Equivalences (SURVEY.md §2.9):
+  - DDP gradient allreduce      -> lax.pmean over the 'data' mesh axis
+  - InfiniteSampler rank stride -> per-process batch sharding (data/sampler)
+  - BN stat allreduce_norm      -> lax.pmean on BN stat updates every step
+    (mathematically identical to the reference's pre-eval allreduce: the
+    EMA update is linear in the per-step batch stats)
+  - rank 0                      -> jax.process_index() == 0
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def data_parallel_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over local (or all) devices for data parallelism."""
+    devices = np.array(jax.devices()[: n_devices or len(jax.devices())])
+    return Mesh(devices, (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place host arrays onto the mesh, sharded along the batch axis."""
+    sharding = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree onto every device of the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
