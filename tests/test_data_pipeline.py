@@ -1,0 +1,92 @@
+"""Data pipeline tests on a synthesized COCO-format dataset.
+
+Builds a tiny on-disk COCO dataset (images + annotation json), then drives
+CocoDataset -> MosaicDetection -> DataLoader end to end, checking shapes,
+label format, worker/determinism invariants, and the mosaic on/off switch.
+"""
+
+import numpy as np
+import pytest
+
+def _make_loader(coco_dir, num_workers, seed=0, mosaic=True, batch_size=4):
+    from yolox_tpu.data import (
+        CocoDataset, DataLoader, InfiniteSampler, MosaicDetection,
+        TrainTransform, YoloBatchSampler)
+
+    dataset = CocoDataset(
+        data_dir=coco_dir, json_file="instances_train2017.json",
+        name="train2017", img_size=(64, 64),
+        preproc=TrainTransform(max_labels=50))
+    dataset = MosaicDetection(
+        dataset=dataset, mosaic=mosaic, img_size=(64, 64),
+        preproc=TrainTransform(max_labels=120),
+        degrees=10.0, translate=0.1, mosaic_scale=(0.1, 2),
+        mixup_scale=(0.5, 1.5), shear=2.0, enable_mixup=True,
+        mosaic_prob=1.0, mixup_prob=1.0)
+    sampler = InfiniteSampler(len(dataset), seed=seed)
+    batch_sampler = YoloBatchSampler(
+        sampler=sampler, batch_size=batch_size, mosaic=mosaic, seed=seed)
+    return DataLoader(dataset, batch_sampler=batch_sampler,
+                      num_workers=num_workers)
+
+
+def _take(loader, n):
+    out = []
+    for i, batch in enumerate(loader):
+        out.append(batch)
+        if i + 1 >= n:
+            break
+    return out
+
+
+def test_batch_shapes_and_label_format(coco_dir):
+    loader = _make_loader(coco_dir, num_workers=0)
+    batches = _take(iter(loader), 2)
+    for imgs, targets, infos, ids in batches:
+        assert imgs.shape == (4, 64, 64, 3) and imgs.dtype == np.float32
+        assert targets.shape == (4, 120, 5)
+        # labels are (cls, cx, cy, w, h) with real rows nonzero
+        real = targets[targets.sum(-1) > 0]
+        assert len(real) > 0
+        assert np.all(real[:, 3] > 0) and np.all(real[:, 4] > 0)
+        assert np.all(real[:, 1] <= 64) and np.all(real[:, 2] <= 64)
+    loader.close()
+
+
+def test_determinism_independent_of_workers(coco_dir):
+    a = _take(iter(_make_loader(coco_dir, num_workers=0, seed=7)), 3)
+    b = _take(iter(_make_loader(coco_dir, num_workers=2, seed=7)), 3)
+    for (ia, ta, _, _), (ib, tb, _, _) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ta, tb)
+
+
+def test_different_seed_different_stream(coco_dir):
+    a = _take(iter(_make_loader(coco_dir, num_workers=0, seed=1)), 1)
+    b = _take(iter(_make_loader(coco_dir, num_workers=0, seed=2)), 1)
+    assert not np.array_equal(a[0][0], b[0][0])
+
+
+def test_close_mosaic(coco_dir):
+    loader = _make_loader(coco_dir, num_workers=0, mosaic=True)
+    loader.close_mosaic()
+    imgs, targets, _, _ = _take(iter(loader), 1)[0]
+    assert imgs.shape == (4, 64, 64, 3)
+    # non-mosaic path pads labels to the same max_labels
+    assert targets.shape == (4, 120, 5)
+
+
+def test_rank_sharding_disjoint(coco_dir):
+    from yolox_tpu.data import InfiniteSampler
+
+    import itertools
+
+    streams = [
+        list(itertools.islice(iter(
+            InfiniteSampler(10, seed=3, rank=r, world_size=2)), 5))
+        for r in range(2)
+    ]
+    # same underlying permutation, strided: interleaving reconstructs it
+    merged = [x for pair in zip(*streams) for x in pair]
+    full = list(itertools.islice(iter(InfiniteSampler(10, seed=3)), 10))
+    assert merged == full

@@ -1,4 +1,5 @@
 from yolox_tpu.parallel.mesh import (
+    all_gather_objects,
     data_parallel_mesh,
     process_count,
     process_index,
@@ -6,6 +7,7 @@ from yolox_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "all_gather_objects",
     "data_parallel_mesh",
     "process_count",
     "process_index",

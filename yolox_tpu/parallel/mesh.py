@@ -64,3 +64,26 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree onto every device of the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def all_gather_objects(obj):
+    """Gather a picklable object from every process; returns a list ordered
+    by process index. Host-level analog of the reference's gloo-based
+    object gather (`yolox/utils/dist.py:193-272`)."""
+    import pickle
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lengths = multihost_utils.process_allgather(
+        np.array([payload.size], np.int64))
+    max_len = int(np.max(lengths))
+    padded = np.zeros(max_len, np.uint8)
+    padded[: payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    return [
+        pickle.loads(gathered[i, : int(lengths[i, 0])].tobytes())
+        for i in range(gathered.shape[0])
+    ]
