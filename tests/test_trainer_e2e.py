@@ -1,0 +1,130 @@
+"""End-to-end trainer test: short training runs on the synthetic COCO set.
+
+Covers the full stack: config factories -> data pipeline -> jitted train
+step -> EMA -> eval -> upstream-compatible checkpointing -> resume. Also
+round-trips our checkpoint into the reference torch model (the strongest
+interop guarantee).
+"""
+
+import glob
+import os
+from argparse import Namespace
+
+import numpy as np
+import pytest
+
+from yolox_tpu.config import YoloxConfig
+
+
+class TinyConfig(YoloxConfig):
+    """User-config-subclass path (module:ClassName surface)."""
+
+    def __init__(self):
+        super().__init__("tiny_e2e")
+        self.num_classes = 3
+        self.depth = 0.33
+        self.width = 0.125
+        self.input_size = (64, 64)
+        self.test_size = (64, 64)
+        self.max_epoch = 2
+        self.warmup_epochs = 1
+        self.no_aug_epochs = 1
+        self.eval_interval = 10  # skip in-training eval by default
+        self.print_interval = 2
+        self.data_num_workers = 0
+        self.save_history_ckpt = False
+        self.multiscale_range = 0
+
+    def get_eval_dataset(self, **kwargs):
+        from yolox_tpu.data import CocoDataset, ValTransform
+
+        return CocoDataset(
+            data_dir=self.data_dir, json_file=self.train_ann,
+            name="train2017", img_size=self.test_size,
+            preproc=ValTransform())
+
+
+def _args(out_dir, **kw):
+    base = dict(batch_size=4, fp16=False, cache=None, logger="tensorboard",
+                ckpt=None, resume=False, start_epoch=None, name="run")
+    base.update(kw)
+    return Namespace(**base)
+
+
+@pytest.fixture()
+def tiny_cfg(coco_dir, tmp_path):
+    cfg = TinyConfig()
+    cfg.data_dir = coco_dir
+    cfg.output_dir = str(tmp_path / "out")
+    return cfg
+
+
+def test_short_training_run_and_checkpoint(tiny_cfg, tmp_path):
+    trainer = tiny_cfg.get_trainer(_args(tiny_cfg.output_dir))
+    trainer.train()
+
+    run_dir = os.path.join(tiny_cfg.output_dir, "run")
+    ckpts = sorted(os.path.basename(p)
+                   for p in glob.glob(os.path.join(run_dir, "*_ckpt.pth")))
+    assert "latest_ckpt.pth" in ckpts
+    assert "last_mosaic_epoch_ckpt.pth" in ckpts  # epoch switch fired
+    # losses were finite
+    assert np.isfinite(trainer.meter["total_loss"].latest)
+    # LR followed the schedule
+    assert trainer.meter["lr"].latest > 0
+
+
+def test_checkpoint_roundtrips_into_reference_torch(tiny_cfg):
+    from tests._reference_oracle import load_reference, reference_available
+
+    if not reference_available():
+        pytest.skip("/root/reference not available")
+
+    trainer = tiny_cfg.get_trainer(_args(tiny_cfg.output_dir))
+    trainer.train()
+    ckpt_path = os.path.join(tiny_cfg.output_dir, "run", "latest_ckpt.pth")
+
+    load_reference()
+    import torch
+    from yolox.models import YoloPafpn, YoloxHead, YoloxModule
+
+    in_channels = [256, 512, 1024]
+    tmodel = YoloxModule(
+        YoloPafpn(tiny_cfg.depth, tiny_cfg.width, in_channels=in_channels),
+        YoloxHead(tiny_cfg.num_classes, tiny_cfg.width,
+                  in_channels=in_channels))
+    weights = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    tmodel.load_state_dict(weights["model"])  # strict=True: full parity
+
+    # and back into ours
+    from yolox_tpu.models.yolox import YoloxModule as OurModule
+    from yolox_tpu.utils.checkpoint import load_checkpoint
+
+    module = OurModule.from_config(tiny_cfg)
+    module.load_params(load_checkpoint(ckpt_path)["model"])
+
+
+def test_resume(tiny_cfg):
+    trainer = tiny_cfg.get_trainer(_args(tiny_cfg.output_dir))
+    trainer.train()
+
+    cfg2 = TinyConfig()
+    cfg2.data_dir = tiny_cfg.data_dir
+    cfg2.output_dir = tiny_cfg.output_dir
+    cfg2.max_epoch = 3
+    trainer2 = cfg2.get_trainer(_args(cfg2.output_dir, resume=True))
+    trainer2.train()
+    assert trainer2.start_epoch == 2
+    assert trainer2.epoch == 2  # ran exactly the one remaining epoch
+
+
+def test_training_with_eval(tiny_cfg):
+    tiny_cfg.eval_interval = 1
+    trainer = tiny_cfg.get_trainer(_args(tiny_cfg.output_dir))
+    trainer.train()
+    # eval ran and produced the last_epoch checkpoint; best_ckpt only
+    # appears when AP strictly improves (reference `trainer.py:360`), which
+    # a 2-epoch run on 12 images may never achieve (AP stays 0.0)
+    run_dir = os.path.join(tiny_cfg.output_dir, "run")
+    assert os.path.exists(os.path.join(run_dir, "last_epoch_ckpt.pth"))
+    assert trainer.best_ap >= 0.0

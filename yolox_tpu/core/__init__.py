@@ -4,5 +4,7 @@ from yolox_tpu.core.train_step import (
     init_train_state,
     make_train_step,
 )
+from yolox_tpu.core.trainer import Trainer
 
-__all__ = ["TrainState", "full_params", "init_train_state", "make_train_step"]
+__all__ = ["TrainState", "full_params", "init_train_state",
+           "make_train_step", "Trainer"]

@@ -1,0 +1,424 @@
+"""Trainer — re-design of `/root/reference/yolox/core/trainer.py`.
+
+Same lifecycle (`before/after_{train,epoch,iter}` around the epoch/iter
+loops) and schedule semantics (mosaic close + L1 enable at
+max_epoch - no_aug_epochs, per-iter LR, EMA, periodic eval + best-ckpt
+tracking, multiscale every 10 iters), mapped onto the TPU execution model:
+
+  - the whole optimization step is ONE jitted program
+    (`yolox_tpu/core/train_step.py`) — no GradScaler (bf16 needs no loss
+    scaling), no DDP wrapper (data parallelism is a mesh axis),
+  - multiscale resize runs on device (jax.image bilinear, bucketed sizes
+    -> a bounded set of compiled graphs, SURVEY.md §5),
+  - multiscale size selection is derived from a seeded RNG shared by all
+    hosts instead of a rank-0 broadcast (collective-free, deterministic),
+  - checkpoints are upstream-compatible `.pth` files.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from yolox_tpu.config import YoloxConfig
+from yolox_tpu.utils.checkpoint import (
+    load_checkpoint,
+    load_ckpt,
+    save_checkpoint,
+)
+from yolox_tpu.utils.logger import logger, setup_logger
+from yolox_tpu.utils.metric import MeterBuffer, device_mem_usage, mem_usage
+from yolox_tpu.utils.model_utils import get_model_info
+
+
+class Trainer:
+    def __init__(self, config: YoloxConfig, args):
+        import jax
+
+        self.exp = config
+        self.args = args
+
+        self.max_epoch = config.max_epoch
+        self.use_bf16 = bool(getattr(args, "fp16", False))
+        self.is_distributed = (
+            jax.process_count() > 1 or jax.device_count() > 1)
+        self.rank = jax.process_index()
+        self.use_model_ema = config.ema
+        self.save_history_ckpt = config.save_history_ckpt
+
+        self.input_size = config.input_size
+        self.best_ap = 0.0
+
+        self.meter = MeterBuffer(window_size=config.print_interval)
+        self.file_name = os.path.join(
+            config.output_dir, getattr(args, "name", config.name)
+            or config.name)
+        if self.rank == 0:
+            os.makedirs(self.file_name, exist_ok=True)
+        setup_logger(self.file_name, rank=self.rank,
+                     filename="train_log.txt", mode="a")
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    def train(self):
+        self.before_train()
+        try:
+            self.train_in_epoch()
+        except Exception:
+            logger.exception("Exception in training")
+            raise
+        finally:
+            self.after_train()
+
+    def train_in_epoch(self):
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.train_in_iter()
+            self.after_epoch()
+
+    def train_in_iter(self):
+        for self.iter in range(self.max_iter):
+            self.before_iter()
+            self.train_one_iter()
+            self.after_iter()
+
+    def train_one_iter(self):
+        import jax.numpy as jnp
+
+        iter_start_time = time.time()
+        batch = self.prefetcher.next()
+        if batch is None:  # infinite sampler never ends, but be safe
+            return
+        inps, targets, _, _ = batch
+        data_end_time = time.time()
+
+        inps, targets = self._multiscale_resize(inps, targets)
+        lr = self.lr_scheduler.update_lr(self.progress_in_iter + 1)
+
+        step = self._step_l1 if self.use_l1 else self._step
+        self.train_state, outputs = step(
+            self.train_state, inps, targets, jnp.float32(lr))
+
+        iter_end_time = time.time()
+        self.meter.update(
+            iter_time=iter_end_time - iter_start_time,
+            data_time=data_end_time - iter_start_time,
+            lr=lr,
+            **outputs,
+        )
+
+    def before_train(self):
+        import jax
+        import jax.numpy as jnp
+
+        from yolox_tpu.core.train_step import (
+            init_train_state,
+            make_train_step,
+        )
+        from yolox_tpu.data import DevicePrefetcher
+        from yolox_tpu.parallel.mesh import (
+            batch_sharding,
+            data_parallel_mesh,
+            replicate,
+        )
+
+        logger.info(f"args: {vars(self.args)}")
+        logger.info(f"config: {self.exp.name}")
+
+        self.module = self.exp.get_model(
+            rng_seed=self.exp.seed if self.exp.seed else 0)
+        logger.info("Model Summary: "
+                    + get_model_info(self.module, self.exp.test_size))
+
+        params, start_epoch_state = self.resume_train(self.module.params)
+        self.module.params = params
+        self.no_aug = (self.start_epoch
+                       >= self.max_epoch - self.exp.no_aug_epochs)
+        self.use_l1 = self.no_aug
+
+        self.train_loader = self.exp.get_data_loader(
+            batch_size=self.args.batch_size,
+            is_distributed=jax.process_count() > 1,
+            no_aug=self.no_aug,
+            cache_img=getattr(self.args, "cache", None),
+        )
+        self.max_iter = len(self.train_loader.dataset) // \
+            self.args.batch_size
+        self.lr_scheduler = self.exp.get_lr_scheduler(
+            self.exp.basic_lr_per_img * self.args.batch_size, self.max_iter)
+
+        per_host_batch = self.args.batch_size // max(jax.process_count(), 1)
+        n_local = jax.local_device_count()
+        if getattr(self.args, "devices", None):
+            n_local = min(n_local, self.args.devices)
+        # the mesh size must divide the per-host batch
+        while n_local > 1 and per_host_batch % n_local != 0:
+            n_local -= 1
+        self.mesh = data_parallel_mesh(n_local) if n_local > 1 else None
+        logger.info(f"data-parallel over {n_local} local device(s)")
+        compute_dtype = jnp.bfloat16 if self.use_bf16 else jnp.float32
+        common = dict(
+            momentum=self.exp.momentum,
+            weight_decay=self.exp.weight_decay,
+            use_ema=self.use_model_ema,
+            mesh=self.mesh,
+            compute_dtype=compute_dtype,
+        )
+        self._step = make_train_step(
+            self.module, self.exp.num_classes, use_l1=False, **common)
+        self._step_l1 = make_train_step(
+            self.module, self.exp.num_classes, use_l1=True, **common)
+
+        state = init_train_state(self.module.params,
+                                 use_ema=self.use_model_ema)
+        if start_epoch_state is not None:
+            state.update(start_epoch_state)
+        if self.use_model_ema:
+            state["ema_updates"] = jnp.asarray(
+                self.max_iter * self.start_epoch, jnp.int32)
+        self.train_state = (replicate(self.mesh, state)
+                            if self.mesh is not None else state)
+
+        self._batch_sharding = (batch_sharding(self.mesh)
+                                if self.mesh is not None else None)
+        self.prefetcher = DevicePrefetcher(
+            self.train_loader, sharding=self._batch_sharding)
+        self._resize_fns = {}
+        self._multiscale_rng = np.random.default_rng(
+            (self.exp.seed or 0) + 12345)
+        self._current_size = self.input_size
+
+        self.evaluator = self.exp.get_evaluator(
+            batch_size=self.args.batch_size,
+            is_distributed=jax.process_count() > 1)
+
+        self.tblogger = None
+        logger_kind = getattr(self.args, "logger", "tensorboard")
+        if self.rank == 0 and logger_kind == "tensorboard":
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tblogger = SummaryWriter(
+                    os.path.join(self.file_name, "tensorboard"))
+            except Exception:
+                logger.warning("tensorboardX unavailable; scalar logging "
+                               "to console only")
+        elif self.rank == 0 and logger_kind == "mlflow":
+            from yolox_tpu.utils.mlflow_logger import MlflowLogger
+
+            self.mlflow_logger = MlflowLogger()
+            self.mlflow_logger.setup(args=self.args, exp=self.exp)
+
+        logger.info("Training start...")
+
+    def after_train(self):
+        logger.info("Training of experiment is done and the best AP is "
+                    f"{self.best_ap * 100:.2f}")
+        if self.tblogger is not None:
+            self.tblogger.close()
+        if getattr(self, "train_loader", None) is not None:
+            self.train_loader.close()
+
+    def before_epoch(self):
+        logger.info(f"---> start train epoch{self.epoch + 1}")
+        if (self.epoch + 1 == self.max_epoch - self.exp.no_aug_epochs
+                or self.no_aug):
+            logger.info("--->No mosaic aug now!")
+            self.train_loader.close_mosaic()
+            self.prefetcher = None
+            from yolox_tpu.data import DevicePrefetcher
+
+            self.prefetcher = DevicePrefetcher(
+                self.train_loader, sharding=self._batch_sharding)
+            logger.info("--->Add additional L1 loss now!")
+            self.use_l1 = True
+            self.exp.eval_interval = 1
+            if not self.no_aug:
+                self.save_ckpt(ckpt_name="last_mosaic_epoch")
+                self.no_aug = True
+
+    def after_epoch(self):
+        self.save_ckpt(ckpt_name="latest")
+        if (self.epoch + 1) % self.exp.eval_interval == 0:
+            # BN stats are already replica-synced every step (train_step
+            # pmeans them) — no allreduce_norm pass needed before eval.
+            self.evaluate_and_save_model()
+
+    def before_iter(self):
+        pass
+
+    def after_iter(self):
+        if (self.iter + 1) % self.exp.print_interval == 0:
+            left_iters = (self.max_iter * self.max_epoch
+                          - (self.progress_in_iter + 1))
+            eta_seconds = self.meter["iter_time"].global_avg * left_iters
+            eta_str = f"ETA: {datetime.timedelta(seconds=int(eta_seconds))}"
+            progress_str = (f"epoch: {self.epoch + 1}/{self.max_epoch}, "
+                            f"iter: {self.iter + 1}/{self.max_iter}")
+            loss_meter = self.meter.get_filtered_meter("loss")
+            loss_str = ", ".join(
+                [f"{k}: {v.latest:.1f}" for k, v in loss_meter.items()])
+            time_meter = self.meter.get_filtered_meter("time")
+            time_str = ", ".join(
+                [f"{k}: {v.avg:.3f}s" for k, v in time_meter.items()])
+            mem_str = (f"dev mem: {device_mem_usage():.0f}Mb, "
+                       f"mem: {mem_usage() / 1024:.1f}Gb")
+
+            logger.info(
+                f"{progress_str}, {mem_str}, {time_str}, {loss_str}, "
+                f"lr: {self.meter['lr'].latest:.3e}, "
+                f"size: {self._current_size[0]:d}, {eta_str}")
+
+            if self.rank == 0 and self.tblogger is not None:
+                self.tblogger.add_scalar(
+                    "train/lr", self.meter["lr"].latest,
+                    self.progress_in_iter)
+                for k, v in loss_meter.items():
+                    self.tblogger.add_scalar(
+                        f"train/{k}", v.latest, self.progress_in_iter)
+            if self.rank == 0 and getattr(self, "mlflow_logger", None):
+                logs = {"train/" + k: v.latest
+                        for k, v in loss_meter.items()}
+                logs["train/lr"] = self.meter["lr"].latest
+                self.mlflow_logger.on_log(
+                    self.args, self.exp, self.epoch + 1, logs)
+            self.meter.clear_meters()
+
+        # multiscale: every 10 iters pick a new 32-aligned size from the
+        # shared seeded stream (`config.py:275-294` analog, broadcast-free)
+        if not self.exp.deterministic:
+            if (self.progress_in_iter + 1) % 10 == 0:
+                self._current_size = self.exp.random_resize(
+                    self._multiscale_rng)
+
+    @property
+    def progress_in_iter(self):
+        return self.epoch * self.max_iter + self.iter
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _multiscale_resize(self, inps, targets):
+        """On-device bilinear resize to the current multiscale size."""
+        import jax
+        import jax.numpy as jnp
+
+        tsize = tuple(self._current_size)
+        if tsize == tuple(self.input_size):
+            return inps, targets
+        key = (tsize, tuple(np.shape(inps)))
+        if key not in self._resize_fns:
+            scale_y = tsize[0] / self.input_size[0]
+            scale_x = tsize[1] / self.input_size[1]
+
+            def _resize(x, t):
+                b, h, w, c = x.shape
+                x = jax.image.resize(
+                    x, (b, tsize[0], tsize[1], c), method="bilinear",
+                    antialias=False)
+                t = t.at[..., 1].multiply(scale_x)
+                t = t.at[..., 3].multiply(scale_x)
+                t = t.at[..., 2].multiply(scale_y)
+                t = t.at[..., 4].multiply(scale_y)
+                return x, t
+
+            self._resize_fns[key] = jax.jit(_resize)
+        return self._resize_fns[key](inps, targets)
+
+    def resume_train(self, params):
+        """Returns (params, extra_state or None) and sets start_epoch."""
+        if getattr(self.args, "resume", False):
+            logger.info("resume training")
+            ckpt_file = self.args.ckpt or os.path.join(
+                self.file_name, "latest_ckpt.pth")
+            ckpt = load_checkpoint(ckpt_file)
+            params = ckpt["model"]
+            self.best_ap = ckpt.pop("best_ap", 0)
+            start_epoch = (self.args.start_epoch - 1
+                           if getattr(self.args, "start_epoch", None)
+                           is not None else ckpt["start_epoch"])
+            self.start_epoch = start_epoch
+            extra = {}
+            if "momentum_buf" in ckpt:
+                import jax
+
+                extra["momentum"] = jax.tree.map(
+                    np.asarray, ckpt["momentum_buf"])
+            logger.info(f"loaded checkpoint '{ckpt_file}' "
+                        f"(epoch {self.start_epoch})")
+            return params, extra or None
+        if getattr(self.args, "ckpt", None) is not None:
+            logger.info("loading checkpoint for fine tuning")
+            ckpt = load_checkpoint(self.args.ckpt)
+            params = load_ckpt(params, ckpt["model"])
+        self.start_epoch = 0
+        return params, None
+
+    def _eval_params(self):
+        from yolox_tpu.core.train_step import full_params
+
+        if self.use_model_ema:
+            return self.train_state["ema"]
+        return full_params(self.train_state)
+
+    def evaluate_and_save_model(self):
+        eval_params = self._eval_params()
+
+        def evalmodel(x):
+            return self.module(x, params=eval_params)
+
+        results = self.exp.eval(
+            evalmodel, self.evaluator, self.is_distributed,
+            return_outputs=True)
+        if isinstance(results, tuple) and len(results) == 2:
+            (ap50_95, ap50, summary), predictions = results
+        else:
+            ap50_95, ap50, summary = results
+
+        update_best_ckpt = ap50_95 > self.best_ap
+        self.best_ap = max(self.best_ap, ap50_95)
+
+        if self.rank == 0:
+            if self.tblogger is not None:
+                self.tblogger.add_scalar(
+                    "val/COCOAP50", ap50, self.epoch + 1)
+                self.tblogger.add_scalar(
+                    "val/COCOAP50_95", ap50_95, self.epoch + 1)
+            if getattr(self, "mlflow_logger", None):
+                self.mlflow_logger.on_log(
+                    self.args, self.exp, self.epoch + 1, {
+                        "val/COCOAP50": ap50,
+                        "val/COCOAP50_95": ap50_95,
+                        "val/best_ap": round(self.best_ap, 3),
+                    })
+            if summary:
+                logger.info("\n" + summary)
+
+        self.save_ckpt("last_epoch", update_best_ckpt, ap=ap50_95)
+        if self.save_history_ckpt:
+            self.save_ckpt(f"epoch_{self.epoch + 1}", ap=ap50_95)
+
+    def save_ckpt(self, ckpt_name, update_best_ckpt=False, ap=None):
+        if self.rank != 0:
+            return
+        import jax
+
+        logger.info(f"Save weights to {self.file_name}")
+        save_params = jax.tree.map(np.asarray, self._eval_params())
+        ckpt_state = {
+            "start_epoch": self.epoch + 1,
+            "model": save_params,
+            "momentum_buf": jax.tree.map(
+                np.asarray, self.train_state["momentum"]),
+            "best_ap": self.best_ap,
+            "curr_ap": ap,
+        }
+        save_checkpoint(ckpt_state, update_best_ckpt, self.file_name,
+                        ckpt_name)

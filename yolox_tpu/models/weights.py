@@ -55,7 +55,9 @@ def state_dict_to_pytree(state_dict: Dict[str, Any]) -> Pytree:
         if arr.ndim == 4:  # conv kernel OIHW -> HWIO
             arr = arr.transpose(2, 3, 1, 0)
         if key.endswith(_STAT_KEYS):
-            arr = arr.astype(np.int32)
+            # normalize to the torch-native 0-dim shape (older checkpoints
+            # may carry (1,) from a numpy contiguity quirk)
+            arr = arr.astype(np.int32).reshape(())
         else:
             arr = arr.astype(np.float32)
         flat[key] = jnp.asarray(arr)
@@ -97,7 +99,7 @@ def save_pth_params(tree: Pytree, path: str | os.PathLike, **extra) -> None:
     import torch
 
     sd = {
-        k: torch.from_numpy(np.ascontiguousarray(v))
+        k: torch.from_numpy(np.asarray(v).copy())
         for k, v in pytree_to_state_dict(tree).items()
     }
     torch.save({"model": sd, **extra}, str(path))
