@@ -206,3 +206,54 @@ def test_evaluator_end_to_end(coco_dir):
     ap50_95, ap50, summary = evaluator.evaluate(fake)
     assert ap50 > 0.99, summary
     assert ap50_95 > 0.9, summary
+
+
+def test_native_matches_python():
+    """C++ matching kernel vs the pure-python evaluateImg on randomized
+    scenarios (crowds, ignores, area spread, score ties)."""
+    from yolox_tpu.native import load_cocoeval_lib
+
+    if load_cocoeval_lib() is None:
+        pytest.skip("no C++ toolchain available")
+
+    rng = np.random.default_rng(0)
+    images = list(range(6))
+    anns, dets = [], []
+    for img in images:
+        for _ in range(int(rng.integers(0, 8))):
+            w, h = rng.uniform(5, 300, 2)
+            x, y = rng.uniform(0, 600 - w), rng.uniform(0, 600 - h)
+            anns.append({"image_id": img,
+                         "category_id": int(rng.choice([1, 2])),
+                         "bbox": [x, y, w, h],
+                         "iscrowd": int(rng.random() < 0.2)})
+        for _ in range(int(rng.integers(0, 15))):
+            w, h = rng.uniform(5, 300, 2)
+            x, y = rng.uniform(0, 600 - w), rng.uniform(0, 600 - h)
+            dets.append({"image_id": img,
+                         "category_id": int(rng.choice([1, 2])),
+                         "bbox": [float(x), float(y), float(w), float(h)],
+                         "score": float(rng.choice(
+                             [0.9, 0.9, rng.uniform(0.05, 1.0)]))})
+
+    gt = _gt(images, anns, cats=(1, 2))
+
+    def run(use_native):
+        dt = gt.loadRes([dict(d) for d in dets])
+        ev = COCOeval(gt, dt, "bbox")
+        ev.evaluate(use_native=use_native)
+        ev.accumulate()
+        import contextlib
+        import io
+
+        with contextlib.redirect_stdout(io.StringIO()):
+            ev.summarize()
+        return ev
+
+    ev_py = run(False)
+    ev_cc = run(True)
+    np.testing.assert_allclose(ev_cc.stats, ev_py.stats, atol=1e-12)
+    np.testing.assert_allclose(
+        ev_cc.eval["precision"], ev_py.eval["precision"], atol=1e-12)
+    np.testing.assert_allclose(
+        ev_cc.eval["recall"], ev_py.eval["recall"], atol=1e-12)

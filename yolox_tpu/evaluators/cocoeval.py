@@ -182,7 +182,7 @@ class COCOeval:
             "dtIgnore": dtIg,
         }
 
-    def evaluate(self):
+    def evaluate(self, use_native: bool = True):
         tic = time.time()
         p = self.params
         p.imgIds = list(np.unique(p.imgIds))
@@ -196,14 +196,118 @@ class COCOeval:
             for imgId in p.imgIds for catId in cat_ids
         }
         maxDet = p.maxDets[-1]
-        self.evalImgs = [
-            self.evaluateImg(imgId, catId, areaRng, maxDet)
-            for catId in cat_ids
-            for areaRng in p.areaRng
-            for imgId in p.imgIds
-        ]
+        native = None
+        if use_native:
+            from yolox_tpu.native import load_cocoeval_lib
+
+            native = load_cocoeval_lib()
+        if native is not None:
+            self.evalImgs = self._evaluate_native(cat_ids, maxDet)
+        else:
+            self.evalImgs = [
+                self.evaluateImg(imgId, catId, areaRng, maxDet)
+                for catId in cat_ids
+                for areaRng in p.areaRng
+                for imgId in p.imgIds
+            ]
         self._paramsEval = copy.deepcopy(self.params)
-        logger.info(f"COCOeval evaluate done (t={time.time() - tic:.2f}s)")
+        logger.info(f"COCOeval evaluate done (t={time.time() - tic:.2f}s, "
+                    f"native={'yes' if native else 'no'})")
+
+    def _evaluate_native(self, cat_ids, maxDet):  # noqa: N803
+        """Run matching in the C++ kernel (yolox_tpu/native/cocoeval.cpp);
+        returns evalImgs dicts identical to the python path's."""
+        from yolox_tpu.native import cocoeval_evaluate_native
+
+        p = self.params
+        groups = []      # (imgId, catId, dts_sorted, gts) for non-empty
+        group_of = {}    # (catId, imgId) -> group idx or None
+        dt_off = [0]
+        gt_off = [0]
+        iou_off = []
+        dt_areas, dt_scores_all, dt_ids_all = [], [], []
+        gt_areas, gt_iscrowd, gt_ignore_base, gt_ids_all = [], [], [], []
+        iou_flat = []
+        iou_pos = 0
+        for catId in cat_ids:
+            for imgId in p.imgIds:
+                gt = self._gts[imgId, catId]
+                dt = self._dts[imgId, catId]
+                if len(gt) == 0 and len(dt) == 0:
+                    group_of[catId, imgId] = None
+                    continue
+                inds = np.argsort([-d["score"] for d in dt],
+                                  kind="mergesort")
+                dt = [dt[i] for i in inds][: p.maxDets[-1]]
+                group_of[catId, imgId] = len(groups)
+                groups.append((imgId, catId, dt, gt))
+                dt_off.append(dt_off[-1] + len(dt))
+                gt_off.append(gt_off[-1] + len(gt))
+                dt_areas.extend(d["area"] for d in dt)
+                dt_scores_all.append([d["score"] for d in dt])
+                dt_ids_all.append([d["id"] for d in dt])
+                gt_areas.extend(g["area"] for g in gt)
+                gt_iscrowd.extend(int(g.get("iscrowd", 0)) for g in gt)
+                gt_ignore_base.extend(int(g["ignore"]) for g in gt)
+                gt_ids_all.append([g["id"] for g in gt])
+                ious = np.asarray(self.ious[imgId, catId], np.float64)
+                iou_off.append(iou_pos)
+                iou_flat.append(ious.reshape(-1))
+                iou_pos += ious.size
+
+        if not groups:
+            return [None] * (len(cat_ids) * len(p.areaRng) * len(p.imgIds))
+
+        dt_matched, dt_ignored, gt_ignored, out_dt_off, out_gt_off = \
+            cocoeval_evaluate_native(
+                np.asarray(dt_off), np.asarray(gt_off),
+                np.asarray(iou_off, np.int64),
+                np.asarray(dt_areas, np.float64),
+                np.asarray(gt_areas, np.float64),
+                np.asarray(gt_iscrowd, np.uint8),
+                np.asarray(gt_ignore_base, np.uint8),
+                (np.concatenate(iou_flat) if iou_flat
+                 else np.zeros(0, np.float64)),
+                np.asarray(p.iouThrs, np.float64),
+                np.asarray(p.areaRng, np.float64),
+                maxDet)
+
+        T = len(p.iouThrs)
+        n_area = len(p.areaRng)
+        evalImgs = []
+        for k, catId in enumerate(cat_ids):
+            for a, aRng in enumerate(p.areaRng):
+                for imgId in p.imgIds:
+                    gidx = group_of[catId, imgId]
+                    if gidx is None:
+                        evalImgs.append(None)
+                        continue
+                    r = gidx * n_area + a
+                    D = int(out_dt_off[r + 1] - out_dt_off[r])
+                    G = int(out_gt_off[r + 1] - out_gt_off[r])
+                    dm = dt_matched[
+                        out_dt_off[r] * T: out_dt_off[r] * T + T * D
+                    ].reshape(T, D).astype(np.float64)
+                    dig = dt_ignored[
+                        out_dt_off[r] * T: out_dt_off[r] * T + T * D
+                    ].reshape(T, D).astype(bool)
+                    gig = gt_ignored[
+                        out_gt_off[r]: out_gt_off[r] + G
+                    ].astype(np.int64)
+                    evalImgs.append({
+                        "image_id": imgId,
+                        "category_id": catId,
+                        "aRng": aRng,
+                        "maxDet": maxDet,
+                        "dtIds": dt_ids_all[gidx],
+                        "gtIds": gt_ids_all[gidx],
+                        "dtMatches": dm,
+                        "gtMatches": None,
+                        "dtScores": dt_scores_all[gidx],
+                        "gtIgnore": gig,
+                        "dtIgnore": dig,
+                    })
+        return evalImgs
 
     def accumulate(self, p=None):
         tic = time.time()
