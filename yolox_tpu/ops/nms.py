@@ -61,7 +61,7 @@ def batched_nms_fixed(boxes, scores, classes, iou_threshold: float, valid=None):
 
 
 @partial(jax.jit, static_argnames=(
-    "num_classes", "class_agnostic", "max_det"))
+    "num_classes", "class_agnostic", "max_det", "use_pallas"))
 def postprocess_device(
     prediction,
     num_classes: int,
@@ -69,6 +69,7 @@ def postprocess_device(
     nms_thre: float = 0.45,
     class_agnostic: bool = False,
     max_det: int = 1024,
+    use_pallas: bool = False,
 ):
     """Batched detection postprocess on device.
 
@@ -105,7 +106,18 @@ def postprocess_device(
 
         boxes_k = box_xyxy[top_idx]
         cls_k = class_pred[top_idx]
-        if class_agnostic:
+        if use_pallas:
+            # VMEM-resident Pallas suppression kernel (yolox_tpu/ops/
+            # pallas_nms.py); identical results, K must be 128-aligned
+            from yolox_tpu.ops.pallas_nms import nms_pallas
+
+            nms_boxes = boxes_k
+            if not class_agnostic:
+                max_coord = jnp.max(jnp.where(valid[:, None], boxes_k, 0.0))
+                nms_boxes = boxes_k + (
+                    cls_k.astype(boxes_k.dtype) * (max_coord + 1))[:, None]
+            keep = nms_pallas(nms_boxes, top_scores, nms_thre, valid)
+        elif class_agnostic:
             keep = nms_fixed(boxes_k, top_scores, nms_thre, valid)
         else:
             keep = batched_nms_fixed(boxes_k, top_scores, cls_k, nms_thre,
