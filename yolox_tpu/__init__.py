@@ -22,6 +22,7 @@ from yolox_tpu.config import (
     YoloxX,
     YoloxTiny,
     YoloxNano,
+    Yolov3,
 )
 from yolox_tpu.models.yolox import Yolox, YoloxModule
 from yolox_tpu.models.processor import Detections, YoloxProcessor
@@ -35,6 +36,7 @@ __all__ = [
     "YoloxX",
     "YoloxTiny",
     "YoloxNano",
+    "Yolov3",
     "Yolox",
     "YoloxModule",
     "YoloxProcessor",

@@ -21,6 +21,10 @@ def main(argv=None) -> int:
         from yolox_tpu.cli import eval as eval_cmd
 
         return eval_cmd.main(argv[1:]) or 0
+    if argv and argv[0] == "demo":
+        from yolox_tpu.cli import demo
+
+        return demo.main(argv[1:]) or 0
     if argv and argv[0] in ("-h", "--help"):
         _print_help()
         return 0
@@ -35,4 +39,5 @@ def _print_help():
         "commands:\n"
         "  train    train a model (see `yolox-tpu train -h`)\n"
         "  eval     evaluate a model (see `yolox-tpu eval -h`)\n"
+        "  demo     run inference on images/video (see `yolox-tpu demo -h`)\n"
     )

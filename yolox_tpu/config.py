@@ -326,6 +326,34 @@ class YoloxTiny(YoloxConfig):
         self.enable_mixup = False
 
 
+class Yolov3(YoloxConfig):
+    """Legacy yolov3 variant: Darknet-53 + YoloFpn + decoupled head, lrelu.
+
+    The reference ships the model code (`yolox/models/darknet.py:8-92`,
+    `yolox/models/yolo_fpn.py`) and an upstream checkpoint
+    (yolox_darknet.pth, `yolox/models/build.py:25`) but no registry entry;
+    here it is reachable via from_pretrained("yolov3").
+    """
+
+    def __init__(self):
+        super().__init__("yolov3")
+        self.depth = 1.0
+        self.width = 1.0
+        self.act = "lrelu"
+
+    def get_model(self, rng_seed: int = 0):
+        from yolox_tpu.models.head import YoloxHead
+        from yolox_tpu.models.yolo_fpn import YoloFpn
+        from yolox_tpu.models.yolox import YoloxModule
+
+        backbone = YoloFpn()
+        head = YoloxHead(self.num_classes, self.width,
+                         in_channels=(128, 256, 512), act="lrelu")
+        module = YoloxModule(backbone, head, config=self)
+        module.params = module.init(rng_seed)
+        return module
+
+
 class YoloxNano(YoloxConfig):
     def __init__(self):
         super().__init__("yolox_nano")
@@ -350,4 +378,5 @@ _NAMED_CONFIG = {
     "yolox_x": YoloxX,
     "yolox_tiny": YoloxTiny,
     "yolox_nano": YoloxNano,
+    "yolov3": Yolov3,
 }

@@ -31,6 +31,8 @@ _WEIGHTS_URL = (
     "https://github.com/Megvii-BaseDetection/YOLOX/releases/download/"
     "0.1.1rc0/{model_id}.pth"
 )
+# upstream file-name aliases (`yolox/models/build.py:18-26`)
+_WEIGHTS_ALIAS = {"yolov3": "yolox_darknet"}
 
 
 class Yolox:
@@ -110,6 +112,13 @@ class YoloxModule:
     @classmethod
     def from_config(cls, config: YoloxConfig, rng_seed: int = 0,
                     dtype: Any = jnp.float32) -> "YoloxModule":
+        # configs may define a bespoke model topology (e.g. yolov3)
+        if type(config).get_model is not YoloxConfig.get_model:
+            module = config.get_model(rng_seed=rng_seed)
+            if dtype != jnp.float32:
+                module.dtype = dtype
+                module.params = cls.cast_params(module.params, dtype)
+            return module
         in_channels = [256, 512, 1024]
         backbone = YoloPafpn(config.depth, config.width,
                              in_channels=in_channels,
@@ -167,6 +176,42 @@ class YoloxModule:
         fpn_outs = self.backbone(params["backbone"], x, ctx, "backbone")
         return self.head.forward_train(params["head"], fpn_outs, ctx, "head")
 
+    def visualize(self, x, targets, save_prefix: str = "assign_vis_"):
+        """Draw SimOTA assignment results per image (reference
+        `yolox.py:94-96` / `yolo_head.py:576-639`). x: NHWC float batch
+        (BGR pixel values as in training); targets: (B, M, 5)."""
+        import numpy as np
+
+        from yolox_tpu.models.assign import simota_assign
+        from yolox_tpu.utils.visualize import visualize_assign
+
+        head_out = self.apply_train(self.params, jnp.asarray(x), None)
+        outputs = np.asarray(head_out["outputs"])
+        xs = np.asarray(head_out["x_shifts"])
+        ys = np.asarray(head_out["y_shifts"])
+        strides = np.asarray(head_out["expanded_strides"])
+        coords = np.stack([(xs + 0.5) * strides, (ys + 0.5) * strides], 1)
+
+        for b in range(outputs.shape[0]):
+            assign = jax.tree.map(np.asarray, simota_assign(
+                jnp.asarray(targets[b], jnp.float32),
+                jnp.asarray(outputs[b, :, :4]),
+                jnp.asarray(outputs[b, :, 4]),
+                jnp.asarray(outputs[b, :, 5:]),
+                head_out["x_shifts"], head_out["y_shifts"],
+                head_out["expanded_strides"], self.head.num_classes))
+            fg = assign["fg_mask"]
+            labels = np.asarray(targets[b])
+            real = labels[labels.sum(-1) > 0]
+            boxes_xyxy = np.stack([
+                real[:, 1] - real[:, 3] / 2, real[:, 2] - real[:, 4] / 2,
+                real[:, 1] + real[:, 3] / 2, real[:, 2] + real[:, 4] / 2,
+            ], 1)
+            img = np.asarray(x[b]).astype(np.uint8)
+            visualize_assign(img, boxes_xyxy, coords[fg],
+                             assign["matched_gt"][fg],
+                             f"{save_prefix}{b}.png")
+
     # ---------------- pretrained loading ----------------
 
     @classmethod
@@ -219,9 +264,10 @@ class YoloxModule:
     def _cached_pretrained_weights(cls, model_id: str) -> str:
         weights_dir = HOME / "weights"
         weights_dir.mkdir(exist_ok=True, parents=True)
-        weights_file = weights_dir / f"{model_id}.pth"
+        file_id = _WEIGHTS_ALIAS.get(model_id, model_id)
+        weights_file = weights_dir / f"{file_id}.pth"
         if not weights_file.exists():
-            weights_url = _WEIGHTS_URL.format(model_id=model_id)
+            weights_url = _WEIGHTS_URL.format(model_id=file_id)
             try:
                 urllib.request.urlretrieve(weights_url, f"{weights_file}.tmp")
             except Exception as e:
