@@ -25,6 +25,10 @@ def main(argv=None) -> int:
         from yolox_tpu.cli import demo
 
         return demo.main(argv[1:]) or 0
+    if argv and argv[0] == "export":
+        from yolox_tpu.cli import export
+
+        return export.main(argv[1:]) or 0
     if argv and argv[0] in ("-h", "--help"):
         _print_help()
         return 0
@@ -40,4 +44,5 @@ def _print_help():
         "  train    train a model (see `yolox-tpu train -h`)\n"
         "  eval     evaluate a model (see `yolox-tpu eval -h`)\n"
         "  demo     run inference on images/video (see `yolox-tpu demo -h`)\n"
+        "  export   export a model to StableHLO (see `yolox-tpu export -h`)\n"
     )

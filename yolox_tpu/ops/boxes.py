@@ -47,3 +47,26 @@ def bboxes_iou(bboxes_a, bboxes_b, xyxy: bool = True):
     if xyxy:
         return pairwise_iou_xyxy(bboxes_a, bboxes_b)
     return pairwise_iou_xyxy(cxcywh2xyxy(bboxes_a), cxcywh2xyxy(bboxes_b))
+
+
+def filter_box(output, scale_range):
+    """Keep rows whose box area is within (min_scale^2, max_scale^2)
+    (`boxes.py:20-28`). output: (N, >=4) xyxy rows."""
+    min_scale, max_scale = scale_range
+    w = output[:, 2] - output[:, 0]
+    h = output[:, 3] - output[:, 1]
+    keep = (w * h > min_scale * min_scale) & (w * h < max_scale * max_scale)
+    return output[keep]
+
+
+def matrix_iou(a, b, eps: float = 1e-12):
+    """Pairwise IoU for numpy xyxy boxes (`boxes.py:104-114`), used by
+    data augmentation."""
+    import numpy as np
+
+    lt = np.maximum(a[:, np.newaxis, :2], b[:, :2])
+    rb = np.minimum(a[:, np.newaxis, 2:], b[:, 2:])
+    area_i = np.prod(rb - lt, axis=2) * (lt < rb).all(axis=2)
+    area_a = np.prod(a[:, 2:] - a[:, :2], axis=1)
+    area_b = np.prod(b[:, 2:] - b[:, :2], axis=1)
+    return area_i / (area_a[:, np.newaxis] + area_b - area_i + eps)
