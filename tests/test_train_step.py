@@ -37,12 +37,13 @@ def test_loss_decreases(tiny_module):
     state = init_train_state(module.params)
     step = make_train_step(module, cfg.num_classes)
     x, labels = _toy_batch()
-    first = last = None
-    for _ in range(8):
-        state, m = step(state, x, labels, jnp.float32(0.02))
-        last = float(m["total_loss"])
-        first = first if first is not None else last
-    assert last < first
+    # SimOTA re-assignment makes per-step losses noisy; compare windowed
+    # means rather than two individual steps.
+    losses = []
+    for _ in range(16):
+        state, m = step(state, x, labels, jnp.float32(0.01))
+        losses.append(float(m["total_loss"]))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
 
 def test_distributed_matches_single_device(tiny_module):
