@@ -51,7 +51,7 @@ def make_parser():
     parser.add_argument("-o", "--occupy", action="store_true",
                         help="kept for flag parity; XLA preallocates HBM")
     parser.add_argument("-l", "--logger", type=str, default="tensorboard",
-                        choices=["tensorboard", "mlflow"],
+                        choices=["tensorboard", "mlflow", "wandb"],
                         help="experiment tracker")
     parser.add_argument("-D", dest="opts", action="append", default=[],
                         metavar="KEY=VALUE",

@@ -214,6 +214,11 @@ class Trainer:
 
             self.mlflow_logger = MlflowLogger()
             self.mlflow_logger.setup(args=self.args, exp=self.exp)
+        elif self.rank == 0 and logger_kind == "wandb":
+            from yolox_tpu.utils.wandb_logger import WandbLogger
+
+            self.wandb_logger = WandbLogger()
+            self.wandb_logger.setup(args=self.args, exp=self.exp)
 
         logger.info("Training start...")
 
@@ -222,6 +227,8 @@ class Trainer:
                     f"{self.best_ap * 100:.2f}")
         if self.tblogger is not None:
             self.tblogger.close()
+        if getattr(self, "wandb_logger", None):
+            self.wandb_logger.finish()
         if getattr(self, "train_loader", None) is not None:
             self.train_loader.close()
 
@@ -288,6 +295,12 @@ class Trainer:
                 logs["train/lr"] = self.meter["lr"].latest
                 self.mlflow_logger.on_log(
                     self.args, self.exp, self.epoch + 1, logs)
+            if self.rank == 0 and getattr(self, "wandb_logger", None):
+                logs = {"train/" + k: v.latest
+                        for k, v in loss_meter.items()}
+                logs["train/lr"] = self.meter["lr"].latest
+                self.wandb_logger.log_metrics(
+                    logs, step=self.progress_in_iter)
             self.meter.clear_meters()
 
         # multiscale: every 10 iters pick a new 32-aligned size from the
@@ -381,6 +394,7 @@ class Trainer:
             (ap50_95, ap50, summary), predictions = results
         else:
             ap50_95, ap50, summary = results
+            predictions = None
 
         update_best_ckpt = ap50_95 > self.best_ap
         self.best_ap = max(self.best_ap, ap50_95)
@@ -398,6 +412,14 @@ class Trainer:
                         "val/COCOAP50_95": ap50_95,
                         "val/best_ap": round(self.best_ap, 3),
                     })
+            if getattr(self, "wandb_logger", None):
+                self.wandb_logger.log_metrics({
+                    "val/COCOAP50": ap50,
+                    "val/COCOAP50_95": ap50_95,
+                    "val/best_ap": self.best_ap,
+                }, step=self.progress_in_iter)
+                if isinstance(predictions, dict):
+                    self.wandb_logger.log_images(predictions)
             if summary:
                 logger.info("\n" + summary)
 
@@ -422,3 +444,12 @@ class Trainer:
         }
         save_checkpoint(ckpt_state, update_best_ckpt, self.file_name,
                         ckpt_name)
+        if getattr(self, "mlflow_logger", None):
+            self.mlflow_logger.save_checkpoints(
+                self.args, self.exp, self.file_name, self.epoch + 1,
+                {"best_ap": self.best_ap, "curr_ap": ap}, update_best_ckpt)
+        if getattr(self, "wandb_logger", None):
+            self.wandb_logger.save_checkpoint(
+                self.file_name, ckpt_name, update_best_ckpt,
+                metadata={"epoch": self.epoch + 1, "best_ap": self.best_ap,
+                          "curr_ap": ap})
