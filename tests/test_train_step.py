@@ -161,3 +161,24 @@ def test_lr_scheduler_matches_reference():
         for it in [0, 10, 100, 5000, 14999]:
             assert ours.update_lr(it) == pytest.approx(
                 ref.update_lr(it), rel=1e-12), (name, it)
+
+
+def test_freeze_prefix_pins_params(tiny_module):
+    from yolox_tpu.core import init_train_state, make_train_step
+    from yolox_tpu.models.weights import nested_to_flat
+
+    module, cfg = tiny_module
+    state = init_train_state(module.params)
+    step = make_train_step(module, cfg.num_classes,
+                           freeze_prefix="backbone")
+    x, labels = _toy_batch()
+    before = {k: np.asarray(v).copy()
+              for k, v in nested_to_flat(state["params"]).items()}
+    for _ in range(2):
+        state, _ = step(state, x, labels, jnp.float32(0.02))
+    after = nested_to_flat(state["params"])
+    changed = {k for k in before
+               if not np.array_equal(before[k], np.asarray(after[k]))}
+    assert all(not k.startswith("backbone") for k in changed), (
+        sorted(changed)[:5])
+    assert any(k.startswith("head") for k in changed)

@@ -128,3 +128,21 @@ def test_training_with_eval(tiny_cfg):
     run_dir = os.path.join(tiny_cfg.output_dir, "run")
     assert os.path.exists(os.path.join(run_dir, "last_epoch_ckpt.pth"))
     assert trainer.best_ap >= 0.0
+
+
+def test_training_with_frozen_backbone(tiny_cfg):
+    """freeze_prefix through the FULL trainer surface (config -> train)."""
+    from yolox_tpu.models.weights import nested_to_flat
+
+    tiny_cfg.freeze_prefix = "backbone.backbone"
+    trainer = tiny_cfg.get_trainer(_args(tiny_cfg.output_dir))
+    trainer.before_train()
+    before = {k: np.asarray(v).copy() for k, v in nested_to_flat(
+        trainer.train_state["params"]).items()}
+    trainer.train_in_epoch()
+    after = nested_to_flat(trainer.train_state["params"])
+    changed = {k for k in before
+               if not np.array_equal(before[k], np.asarray(after[k]))}
+    assert changed, "training should have updated something"
+    assert all(not k.startswith("backbone.backbone") for k in changed)
+    trainer.after_train()

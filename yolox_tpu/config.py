@@ -62,6 +62,10 @@ class YoloxConfig:
     scheduler: str = "yoloxwarmcos"
     no_aug_epochs: int = 15
     ema: bool = True
+    # Freeze every param whose flat key starts with this dotted prefix
+    # (e.g. "backbone.backbone" = CSPDarknet). Reference analog:
+    # `freeze_module` applied in Exp.get_model (`model_utils.py:129`).
+    freeze_prefix: Optional[str] = None
 
     weight_decay: float = 5e-4
     momentum: float = 0.9

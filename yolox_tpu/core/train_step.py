@@ -76,6 +76,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     compute_dtype=jnp.float32,
     use_l1: bool = False,
+    freeze_prefix: Optional[str] = None,
 ):
     """Returns step(state, x, labels, lr) -> (state, metrics).
 
@@ -83,6 +84,11 @@ def make_train_step(
     (the trainer builds a second step when the no-aug phase enables L1).
     With a mesh, x/labels must be sharded along the batch axis and the state
     replicated (`yolox_tpu/parallel/mesh.py` helpers).
+
+    freeze_prefix pins every parameter leaf whose flat dotted key starts
+    with the prefix (e.g. "backbone.backbone" = the CSPDarknet): neither
+    SGD, weight decay, nor momentum touches it (reference `freeze_module`,
+    `model_utils.py:129`, applied via Exp.get_model overrides).
     """
     distributed = mesh is not None
 
@@ -115,6 +121,15 @@ def make_train_step(
         new_params, new_momentum = sgd_update(
             state["params"], grads, state["momentum"], wd_mask,
             lr=lr, momentum=momentum, weight_decay=weight_decay)
+        if freeze_prefix:
+            from yolox_tpu.utils.model_utils import freeze_mask
+
+            fmask = freeze_mask(state["params"], freeze_prefix)
+            keep = lambda old, new, m: jnp.where(m > 0, new, old)  # noqa: E731
+            new_params = jax.tree.map(
+                keep, state["params"], new_params, fmask)
+            new_momentum = jax.tree.map(
+                keep, state["momentum"], new_momentum, fmask)
         new_stats = apply_flat_updates(state["stats"], bn_updates)
 
         new_state = dict(state)

@@ -169,6 +169,7 @@ class Trainer:
             use_ema=self.use_model_ema,
             mesh=self.mesh,
             compute_dtype=compute_dtype,
+            freeze_prefix=getattr(self.exp, "freeze_prefix", None),
         )
         self._step = make_train_step(
             self.module, self.exp.num_classes, use_l1=False, **common)
