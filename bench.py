@@ -29,16 +29,11 @@ import numpy as np
 
 
 def build_serve(module, cfg, max_det=256):
-    import jax.numpy as jnp
-
-    from yolox_tpu.ops.nms import postprocess_device
-
     def serve(p, x):
-        fpn = module.backbone(p["backbone"], x.astype(jnp.bfloat16))
-        out = module.head(p["head"], fpn).astype(jnp.float32)
-        return postprocess_device(
-            out, cfg.num_classes, conf_thre=0.5, nms_thre=cfg.nmsthre,
-            class_agnostic=False, max_det=max_det)
+        # fused path: bf16 forward + top-k select + f32 candidate decode
+        # + fixpoint NMS, one XLA program (yolox_tpu/ops/nms.py)
+        return module.serve(p, x, conf_thre=0.5, nms_thre=cfg.nmsthre,
+                            class_agnostic=False, max_det=max_det)
 
     return serve
 

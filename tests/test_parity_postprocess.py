@@ -115,3 +115,71 @@ def test_preproc_matches_reference():
         ref_img, _ = vt(img, None, (640, 640))          # CHW
         ours, r = preproc(img, (640, 640))               # HWC
         np.testing.assert_array_equal(ours.transpose(2, 0, 1), ref_img)
+
+
+def _greedy_nms_np(boxes, scores, thr):
+    """Reference-textbook greedy NMS (score-sorted input)."""
+    n = len(scores)
+    keep = np.ones(n, bool)
+    x1, y1, x2, y2 = boxes.T
+    area = (x2 - x1) * (y2 - y1)
+    for i in range(n):
+        if not keep[i]:
+            continue
+        xx1 = np.maximum(x1[i], x1)
+        yy1 = np.maximum(y1[i], y1)
+        xx2 = np.minimum(x2[i], x2)
+        yy2 = np.minimum(y2[i], y2)
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        iou = inter / (area[i] + area - inter + 1e-16)
+        keep &= ~((iou > thr) & (np.arange(n) > i))
+    return keep
+
+
+@pytest.mark.parametrize("thr", [0.1, 0.5, 0.9])
+def test_fixpoint_nms_exact_on_dense_overlaps(thr):
+    """The while-loop fixpoint formulation must equal sequential greedy
+    even on adversarially dense suppression chains."""
+    import jax.numpy as jnp
+
+    from yolox_tpu.ops.nms import nms_fixed
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        k = 256
+        cx, cy = rng.uniform(50, 200, (2, k))  # dense -> deep chains
+        w, h = rng.uniform(20, 160, (2, k))
+        boxes = np.stack(
+            [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1
+        ).astype(np.float32)
+        scores = np.sort(rng.random(k).astype(np.float32))[::-1].copy()
+        ref = _greedy_nms_np(boxes, scores, thr)
+        got = np.asarray(nms_fixed(
+            jnp.asarray(boxes), jnp.asarray(scores), float(thr)))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_postprocess_fused_matches_unfused_f32():
+    """postprocess_fused (select-then-decode) must be bitwise identical to
+    postprocess_device (decode-then-select) when everything is f32."""
+    import jax.numpy as jnp
+
+    from yolox_tpu import YoloxConfig, YoloxModule
+    from yolox_tpu.ops.nms import postprocess_device, postprocess_fused
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    module = YoloxModule.from_config(cfg)
+    x = jnp.asarray(np.random.default_rng(3).uniform(
+        0, 255, (2, 416, 416, 3)), jnp.float32)
+
+    dets_a, va = postprocess_device(module(x), 80, 1e-5, 0.65, False, 256)
+    fpn = module.backbone(module.params["backbone"], x)
+    raw, grid, stride = module.head.forward_raw(module.params["head"], fpn)
+    dets_b, vb = postprocess_fused(raw, grid, stride, 80, 1e-5, 0.65,
+                                   False, 256)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    m = np.asarray(va)
+    np.testing.assert_array_equal(np.asarray(dets_a)[m], np.asarray(dets_b)[m])
+
+    dets_c, vc = module.serve(module.params, x, conf_thre=1e-5)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vc))

@@ -131,12 +131,14 @@ class YoloxHead(Module):
             levels.append((reg_out, obj_out, cls_out))
         return levels
 
-    def __call__(self, p, xin, ctx=EVAL_CTX, path=""):
-        """Inference forward: decoded (B, n_anchors_all, 5 + num_classes).
+    def forward_raw(self, p, xin, ctx=EVAL_CTX, path=""):
+        """Pre-decode inference outputs + decode tables.
 
-        Row layout matches the reference exactly:
-        (cx, cy, w, h, sigmoid(obj), sigmoid(cls)...), anchors concatenated
-        over levels in stride order (8, 16, 32), each level row-major.
+        Returns (outputs, grid, stride): outputs (B, A, 5+C) rows
+        (tx, ty, tw, th, sigmoid(obj), sigmoid(cls)...), grid (A, 2),
+        stride (A, 1). Decode = ((txy + grid) * stride, exp(twh) * stride).
+        Used by the fused serving path, which decodes only the top-k
+        candidates (`yolox_tpu/ops/nms.py:postprocess_fused`).
         """
         levels = self._level_outputs(p, xin, ctx, path)
         outs, grids, strides = [], [], []
@@ -148,11 +150,22 @@ class YoloxHead(Module):
             grids.append(level_grid(h, w, out.dtype))
             strides.append(
                 jnp.full((h * w, 1), stride, out.dtype))
-        outputs = jnp.concatenate(outs, axis=1)
+        return (jnp.concatenate(outs, axis=1),
+                jnp.concatenate(grids, axis=0),
+                jnp.concatenate(strides, axis=0))
+
+    def __call__(self, p, xin, ctx=EVAL_CTX, path=""):
+        """Inference forward: decoded (B, n_anchors_all, 5 + num_classes).
+
+        Row layout matches the reference exactly:
+        (cx, cy, w, h, sigmoid(obj), sigmoid(cls)...), anchors concatenated
+        over levels in stride order (8, 16, 32), each level row-major.
+        """
+        outputs, grid, stride = self.forward_raw(p, xin, ctx, path)
         if not self.decode_in_inference:
             return outputs
-        grid = jnp.concatenate(grids, axis=0)[None]        # (1, A, 2)
-        stride = jnp.concatenate(strides, axis=0)[None]    # (1, A, 1)
+        grid = grid[None]        # (1, A, 2)
+        stride = stride[None]    # (1, A, 1)
         return jnp.concatenate(
             [
                 (outputs[..., 0:2] + grid) * stride,

@@ -166,6 +166,25 @@ class YoloxModule:
             p = self.cast_params(p, self.dtype)
         return self._forward_eval(p, x.astype(jnp.float32))
 
+    def serve(self, params: dict, x, conf_thre: float = 0.5,
+              nms_thre: float = 0.65, class_agnostic: bool = False,
+              max_det: int = 256):
+        """Fused serving step: forward + top-k select + f32 decode of the
+        selected candidates + on-device NMS, as one graph. x: (B, H, W, 3)
+        float NHWC. Returns (detections (B, max_det, 7), valid mask).
+        Jit this (or call under jit); see bench.py and
+        `yolox_tpu/ops/nms.py:postprocess_fused`.
+        """
+        from yolox_tpu.ops.nms import postprocess_fused
+
+        if self.dtype != jnp.float32:
+            x = x.astype(self.dtype)
+        fpn_outs = self.backbone(params["backbone"], x)
+        raw, grid, stride = self.head.forward_raw(params["head"], fpn_outs)
+        return postprocess_fused(
+            raw, grid, stride, self.head.num_classes, conf_thre, nms_thre,
+            class_agnostic, max_det)
+
     def apply_train(self, params: dict, x, collector: Optional[BNCollector]):
         """Train-mode forward (pure): head training outputs + BN updates.
 

@@ -31,16 +31,32 @@ NEG_INF_SCORE = -1e10
 
 
 def _greedy_suppress(iou, valid, thr):
-    """Greedy NMS over score-sorted candidates given their IoU matrix."""
+    """Greedy NMS over score-sorted candidates given their IoU matrix.
+
+    Computed as a fixpoint instead of K sequential steps: greedy keep is
+    the unique solution of  keep[j] = valid[j] & !any(i<j: keep[i] &
+    iou[i,j] > thr)  (position j depends only on positions before it, so
+    the fixpoint is unique by induction over score order). Each round is
+    one (K,K)x(K,) matvec on the MXU and the loop exits at convergence —
+    ~suppression-chain-depth rounds (typically <10) instead of K.
+    """
     k = iou.shape[0]
     idx = jnp.arange(k)
+    # sup[j, i] = candidate i is higher-scored than j and overlaps it
+    sup = ((iou > thr) & (idx[None, :] < idx[:, None])).astype(jnp.float32)
 
-    def body(i, keep):
-        keep_i = keep[i]
-        suppress = (iou[i] > thr) & (idx > i) & keep_i
-        return keep & ~suppress
+    def cond(state):
+        keep, converged = state
+        return ~converged
 
-    return jax.lax.fori_loop(0, k, body, valid)
+    def body(state):
+        keep, _ = state
+        suppressed = (sup @ keep.astype(jnp.float32)) > 0.5
+        new_keep = valid & ~suppressed
+        return new_keep, jnp.all(new_keep == keep)
+
+    keep, _ = jax.lax.while_loop(cond, body, (valid, jnp.bool_(False)))
+    return keep
 
 
 def nms_fixed(boxes, scores, iou_threshold: float, valid=None):
@@ -142,3 +158,76 @@ def postprocess_device(
         return det, keep
 
     return jax.vmap(per_image)(prediction)
+
+
+@partial(jax.jit, static_argnames=(
+    "num_classes", "class_agnostic", "max_det"))
+def postprocess_fused(
+    outputs,
+    grid,
+    stride,
+    num_classes: int,
+    conf_thre: float = 0.7,
+    nms_thre: float = 0.45,
+    class_agnostic: bool = False,
+    max_det: int = 256,
+):
+    """Bandwidth-optimal serving postprocess on raw head outputs.
+
+    Takes the head's *pre-decode* outputs (`YoloxHead.forward_raw`), scores
+    all anchors in the model compute dtype (bf16 in serving), selects the
+    top-`max_det` candidates, and decodes/scores ONLY those in f32. Avoids
+    materializing the decoded (B, A, 5+C) f32 tensor entirely — at B=256,
+    A=8400 that is ~730 MB of HBM traffic per batch the non-fused path
+    pays. Same output contract as `postprocess_device`; bitwise-identical
+    to it when `outputs` is f32.
+    """
+
+    def per_image(out):
+        class_conf = jnp.max(out[:, 5:5 + num_classes], axis=1)
+        class_pred = jnp.argmax(out[:, 5:5 + num_classes], axis=1)
+        score = out[:, 4] * class_conf
+        masked = jnp.where(score >= conf_thre, score, NEG_INF_SCORE)
+
+        k = min(max_det, out.shape[0])
+        _, top_idx = jax.lax.top_k(masked, k)
+
+        # gather only the needed columns (never the C class columns),
+        # then decode + rescore the k candidates in f32
+        cand = out[:, :5][top_idx].astype(jnp.float32)   # (k, 5)
+        g = grid[top_idx].astype(jnp.float32)            # (k, 2)
+        s = stride[top_idx].astype(jnp.float32)          # (k, 1)
+        cxy = (cand[:, 0:2] + g) * s
+        wh = jnp.exp(cand[:, 2:4]) * s
+        box_xyxy = jnp.concatenate(
+            [cxy - wh / 2, cxy + wh / 2], axis=1)
+        obj = cand[:, 4]
+        class_conf_k = class_conf[top_idx].astype(jnp.float32)
+        cls_k = class_pred[top_idx]
+        top_scores = obj * class_conf_k
+        valid = top_scores >= conf_thre
+
+        if class_agnostic:
+            keep = nms_fixed(box_xyxy, top_scores, nms_thre, valid)
+        else:
+            keep = batched_nms_fixed(box_xyxy, top_scores, cls_k, nms_thre,
+                                     valid)
+
+        det = jnp.concatenate(
+            [
+                box_xyxy,
+                obj[:, None],
+                class_conf_k[:, None],
+                cls_k[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        order = jnp.argsort(~keep, stable=True)
+        det = det[order]
+        keep = keep[order]
+        if k < max_det:
+            det = jnp.pad(det, ((0, max_det - k), (0, 0)))
+            keep = jnp.pad(keep, (0, max_det - k))
+        return det, keep
+
+    return jax.vmap(per_image)(outputs)
