@@ -182,3 +182,25 @@ def test_freeze_prefix_pins_params(tiny_module):
     assert all(not k.startswith("backbone") for k in changed), (
         sorted(changed)[:5])
     assert any(k.startswith("head") for k in changed)
+
+
+def test_bf16_train_step_runs_and_learns(tiny_module):
+    """AMP path: f32 master weights, bf16 compute (--fp16 flag)."""
+    from yolox_tpu.core import init_train_state, make_train_step
+
+    module, cfg = tiny_module
+    state = init_train_state(module.params)
+    step = make_train_step(module, cfg.num_classes,
+                           compute_dtype=jnp.bfloat16)
+    x, labels = _toy_batch()
+    losses = []
+    for _ in range(12):
+        state, m = step(state, x, labels, jnp.float32(0.01))
+        losses.append(float(m["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    # master params stayed f32
+    assert all(
+        a.dtype == jnp.float32
+        for a in jax.tree.leaves(state["params"])
+        if jnp.issubdtype(a.dtype, jnp.floating))

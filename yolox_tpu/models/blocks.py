@@ -70,12 +70,17 @@ def get_activation(name: str):
 # ---------------------------------------------------------------------------
 
 def conv2d(x, w, stride: int = 1, groups: int = 1):
-    """'Same'-padded conv matching torch Conv2d(padding=(k-1)//2)."""
+    """'Same'-padded conv matching torch Conv2d(padding=(k-1)//2).
+
+    Mixed precision: the kernel is cast to the activation dtype (AMP
+    semantics — f32 master weights, bf16 compute; the cast is a no-op
+    when dtypes already agree, and gradients flow back to f32).
+    """
     k = w.shape[0]
     pad = (k - 1) // 2
     return jax.lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=_CONV_DN,
@@ -129,8 +134,11 @@ def batch_norm(p: Params, x, ctx: Ctx, path: str):
     beta = p["bias"]
     if ctx.train:
         # Normalize with biased batch statistics (torch train mode).
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        var = jnp.var(x, axis=(0, 1, 2))
+        # Stats in f32 regardless of compute dtype (torch autocast runs
+        # batch_norm in f32).
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        var = jnp.var(x32, axis=(0, 1, 2))
         if ctx.collector is not None:
             n = x.shape[0] * x.shape[1] * x.shape[2]
             unbiased = var * (n / max(n - 1, 1))

@@ -56,8 +56,9 @@ class _PredConv(Module):
         return {"weight": w, "bias": b}
 
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        # kernel cast = AMP semantics (f32 master weights, bf16 compute)
         y = jax.lax.conv_general_dilated(
-            x, p["weight"], (1, 1), ((0, 0), (0, 0)),
+            x, p["weight"].astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + p["bias"].astype(y.dtype)
 
