@@ -153,3 +153,50 @@ def test_assignment_matches_reference():
     np.testing.assert_allclose(
         np.asarray(ours["matched_iou"])[our_fg], pred_ious.numpy(),
         rtol=1e-5, atol=1e-6)
+
+
+def test_candidate_compaction_exact_vs_full():
+    """Compacted SimOTA (N slots) must equal the same computation with the
+    cap lifted to all anchors, including crowded-scene label counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolox_tpu.models.assign import simota_assign
+
+    rng = np.random.default_rng(11)
+    # A small 3-level grid: strides 8/16/32 over a 128px image
+    grids = [(16, 16, 8), (8, 8, 16), (4, 4, 32)]
+    xs, ys, ss = [], [], []
+    for h, w, s in grids:
+        yy, xx = np.mgrid[0:h, 0:w]
+        xs.append(xx.ravel()); ys.append(yy.ravel())
+        ss.append(np.full(h * w, s))
+    x_shifts = jnp.asarray(np.concatenate(xs), jnp.float32)
+    y_shifts = jnp.asarray(np.concatenate(ys), jnp.float32)
+    strides = jnp.asarray(np.concatenate(ss), jnp.float32)
+    a = x_shifts.shape[0]
+
+    for n_gt in (3, 40, 120):  # crowded case stresses the cap
+        labels = np.zeros((120, 5), np.float32)
+        labels[:n_gt, 0] = rng.integers(0, 80, n_gt)
+        labels[:n_gt, 1:3] = rng.uniform(8, 120, (n_gt, 2))
+        labels[:n_gt, 3:5] = rng.uniform(6, 60, (n_gt, 2))
+        preds = np.zeros((a, 4), np.float32)
+        preds[:, 0] = (np.asarray(x_shifts) + 0.5) * np.asarray(strides)
+        preds[:, 1] = (np.asarray(y_shifts) + 0.5) * np.asarray(strides)
+        preds[:, 2:] = rng.uniform(4, 80, (a, 2))
+        obj = rng.normal(size=(a,)).astype(np.float32)
+        cls = rng.normal(size=(a, 80)).astype(np.float32)
+
+        args = (jnp.asarray(labels), jnp.asarray(preds), jnp.asarray(obj),
+                jnp.asarray(cls), x_shifts, y_shifts, strides, 80)
+        compact = simota_assign(*args, num_candidates=256)
+        full = simota_assign(*args, num_candidates=a)
+        if int(full["num_cand"]) <= 256:
+            for key in ("fg_mask", "matched_gt", "matched_iou", "num_fg"):
+                np.testing.assert_array_equal(
+                    np.asarray(compact[key]), np.asarray(full[key]),
+                    err_msg=f"{key} n_gt={n_gt}")
+        else:
+            # overflow must be visible in telemetry (crowded-scene case)
+            assert int(compact["num_cand"]) > 256

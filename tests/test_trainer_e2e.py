@@ -146,3 +146,18 @@ def test_training_with_frozen_backbone(tiny_cfg):
     assert changed, "training should have updated something"
     assert all(not k.startswith("backbone.backbone") for k in changed)
     trainer.after_train()
+
+
+def test_profiler_trace_capture(tiny_cfg, monkeypatch, tmp_path):
+    """YOLOX_PROFILE_DIR captures a jax.profiler trace of the train loop."""
+    prof_dir = str(tmp_path / "prof")
+    monkeypatch.setenv("YOLOX_PROFILE_DIR", prof_dir)
+    monkeypatch.setenv("YOLOX_PROFILE_START", "1")
+    monkeypatch.setenv("YOLOX_PROFILE_ITERS", "1")
+    trainer = tiny_cfg.get_trainer(_args(tiny_cfg.output_dir))
+    trainer.before_train()
+    trainer.train_in_iter()
+    trainer.after_train()
+    traces = glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
+                       recursive=True)
+    assert traces, f"no trace written under {prof_dir}"

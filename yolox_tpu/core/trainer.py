@@ -88,6 +88,32 @@ class Trainer:
             self.train_one_iter()
             self.after_iter()
 
+    # ---------------- profiling ----------------
+    #
+    # TPU-native analog of the reference's (absent) profiler: set
+    # YOLOX_PROFILE_DIR to capture a jax.profiler device trace of iters
+    # [YOLOX_PROFILE_START, +YOLOX_PROFILE_ITERS) on rank 0, viewable in
+    # TensorBoard / Perfetto (SURVEY.md §5 tracing).
+
+    def _maybe_profile(self):
+        profile_dir = os.environ.get("YOLOX_PROFILE_DIR")
+        if not profile_dir or self.rank != 0:
+            return
+        import jax
+
+        start = int(os.environ.get("YOLOX_PROFILE_START", "10"))
+        n = int(os.environ.get("YOLOX_PROFILE_ITERS", "10"))
+        it = self.progress_in_iter
+        if it == start:
+            logger.info(f"profiler: tracing iters [{start}, {start + n}) "
+                        f"to {profile_dir}")
+            jax.profiler.start_trace(profile_dir)
+            self._profiling = True
+        elif getattr(self, "_profiling", False) and it >= start + n:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logger.info("profiler: trace written")
+
     def train_one_iter(self):
         import jax.numpy as jnp
 
@@ -221,11 +247,17 @@ class Trainer:
             self.wandb_logger = WandbLogger()
             self.wandb_logger.setup(args=self.args, exp=self.exp)
 
+        self.epoch = self.start_epoch  # valid even before the epoch loop
         logger.info("Training start...")
 
     def after_train(self):
         logger.info("Training of experiment is done and the best AP is "
                     f"{self.best_ap * 100:.2f}")
+        if getattr(self, "_profiling", False):
+            import jax
+
+            jax.profiler.stop_trace()
+            self._profiling = False
         if self.tblogger is not None:
             self.tblogger.close()
         if getattr(self, "wandb_logger", None):
@@ -259,7 +291,7 @@ class Trainer:
             self.evaluate_and_save_model()
 
     def before_iter(self):
-        pass
+        self._maybe_profile()
 
     def after_iter(self):
         if (self.iter + 1) % self.exp.print_interval == 0:

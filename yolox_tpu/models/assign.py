@@ -8,7 +8,14 @@ shapes); here the whole batch is one fixed-shape vmapped computation:
   - padded ground-truth labels (M, 5) rows of (cls, cx, cy, w, h), zero rows
     = padding (the reference data pipeline already pads to max_labels,
     `data_augment.py:203-207`; `nlabel` semantics of `yolo_head.py:269`).
-  - candidate filtering by masking (big-constant costs) instead of gather,
+  - **candidate compaction**: the geometry constraint admits at most ~27
+    anchors per gt (a 3x3 window on each of 3 pyramid levels), so instead
+    of dense (M, A) matrices over all A=8400 anchors, candidates are
+    compacted to a fixed top-N slice (the fixed-shape analog of the
+    reference's boolean gather, `yolo_head.py:459`). All O(M*N) work then
+    runs on N=2048 instead of 8400 — exact as long as the true candidate
+    count fits N, which the 3x3x3-window bound guarantees for M <= 75 and
+    overlapping gts make true in practice for the mosaic max of 120.
   - dynamic-k selection via a fixed top-10 + rank mask
     (dynamic_k <= 10 always: it is int(sum of top-10 IoUs) <= 10),
   - conflict resolution via argmin over the gt axis.
@@ -19,8 +26,7 @@ under @torch.no_grad, `yolo_head.py:420`).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -31,10 +37,11 @@ BIG = 1e9          # excludes non-candidate anchors / padded gts from matching
 GEOM_PENALTY = 1e6  # reference's soft penalty for outside-center candidates
 CENTER_RADIUS = 1.5
 N_CANDIDATE_K = 10
+NUM_CANDIDATES = 2048  # compacted candidate slots (see module docstring)
 
 
 def _pairwise_iou_cxcywh(gt, pred):
-    """IoU of gt (G,4) x pred (A,4), cxcywh, reference formula
+    """IoU of gt (G,4) x pred (N,4), cxcywh, reference formula
     (`boxes.py:88-101`): strict tl<br intersection, no eps."""
     tl = jnp.maximum(gt[:, None, :2] - gt[:, None, 2:] / 2,
                      pred[None, :, :2] - pred[None, :, 2:] / 2)
@@ -61,47 +68,66 @@ def simota_assign(
     y_shifts,           # (A,)
     strides,            # (A,)
     num_classes: int,
+    num_candidates: int = NUM_CANDIDATES,
 ) -> Dict[str, jnp.ndarray]:
     """Single-image SimOTA. vmap over the batch dimension.
 
-    Returns (all fixed-shape):
+    Returns (all fixed-shape; N = min(num_candidates, A) compacted slots):
       fg_mask: (A,) bool — anchors assigned to some gt
       matched_gt: (A,) int32 — index of matched gt (0 where ~fg)
       matched_iou: (A,) f32 — IoU with matched gt (0 where ~fg)
       num_fg: () f32, num_gt: () f32
+      cand_idx: (N,) int32 — anchor index per candidate slot
+      fg_cand: (N,) bool, matched_gt_cand: (N,) int32,
+      matched_iou_cand: (N,) f32 — candidate-space views (for loss terms
+      that are zero off-candidate; every fg anchor is a candidate).
     """
     gt_mask = jnp.sum(gt_labels, axis=1) > 0           # (M,)
     gt_cls = gt_labels[:, 0].astype(jnp.int32)
     gt_boxes = gt_labels[:, 1:5]
+    a = bbox_preds.shape[0]
+    m = gt_labels.shape[0]
+    n = min(num_candidates, a)
 
     # ---- geometry constraint (`yolo_head.py:511-540`) ----
     xc = (x_shifts + 0.5) * strides                     # (A,)
     yc = (y_shifts + 0.5) * strides
     radius = CENTER_RADIUS * strides                    # (A,)
-    in_center = (
+    in_center_all = (
         (jnp.abs(xc[None, :] - gt_boxes[:, 0:1]) < radius[None, :])
         & (jnp.abs(yc[None, :] - gt_boxes[:, 1:2]) < radius[None, :])
         & gt_mask[:, None]
     )                                                   # (M, A)
-    candidate = jnp.any(in_center, axis=0)              # (A,) anchor_filter
+    candidate = jnp.any(in_center_all, axis=0)          # (A,) anchor_filter
+
+    # ---- compact candidates to N fixed slots ----
+    # top_k on the mask picks every true candidate first (stable, index
+    # order); slots beyond the true count carry cand_valid=False.
+    cand_score, cand_idx = jax.lax.top_k(candidate.astype(jnp.int32), n)
+    cand_valid = cand_score > 0                         # (N,)
+    in_center = jnp.take(in_center_all, cand_idx, axis=1)        # (M, N)
+    preds_c = jnp.take(bbox_preds, cand_idx, axis=0)             # (N, 4)
+    obj_c = jnp.take(obj_logits, cand_idx, axis=0)               # (N,)
+    cls_c = jnp.take(cls_logits, cand_idx, axis=0)               # (N, C)
+    slot_ok = cand_valid[None, :] & gt_mask[:, None]             # (M, N)
 
     # ---- pairwise IoU over candidates (`yolo_head.py:461`) ----
-    ious = _pairwise_iou_cxcywh(gt_boxes, bbox_preds)   # (M, A)
-    ious = jnp.where(candidate[None, :] & gt_mask[:, None], ious, 0.0)
+    ious = _pairwise_iou_cxcywh(gt_boxes, preds_c)      # (M, N)
+    ious = jnp.where(slot_ok, ious, 0.0)
 
     # ---- classification cost, fp32 (`yolo_head.py:472-480`) ----
     p = jnp.sqrt(
-        jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-        * jax.nn.sigmoid(obj_logits.astype(jnp.float32))[:, None]
-    )                                                   # (A, C)
+        jax.nn.sigmoid(cls_c.astype(jnp.float32))
+        * jax.nn.sigmoid(obj_c.astype(jnp.float32))[:, None]
+    )                                                   # (N, C)
     # sum_c BCE(p_c, onehot_g) = -sum_c log(1-p_c) - log(p_g) + log(1-p_g)
-    # (O(A*C + M*A) instead of materializing the (M, A, C) BCE tensor)
+    # (O(N*C + M*N) instead of materializing the (M, N, C) BCE tensor)
     log_p = _clamped_log(p)
     log_1mp = _clamped_log(1.0 - p)
-    s_neg = -jnp.sum(log_1mp, axis=1)                   # (A,)
-    lp_g = log_p[:, gt_cls].T                           # (M, A)
+    s_neg = -jnp.sum(log_1mp, axis=1)                   # (N,)
+    lp_g = log_p[:, gt_cls].T                           # (M, N)
     l1mp_g = log_1mp[:, gt_cls].T
-    cls_cost = s_neg[None, :] - lp_g + l1mp_g           # (M, A)
+    cls_cost = s_neg[None, :] - lp_g + l1mp_g           # (M, N)
 
     iou_cost = -jnp.log(ious + 1e-8)
     cost = (
@@ -109,13 +135,12 @@ def simota_assign(
         + 3.0 * iou_cost
         + GEOM_PENALTY * (~in_center).astype(jnp.float32)
     )
-    # Exclude non-candidates and padded gts outright (the reference gathers
+    # Exclude padded slots / padded gts outright (the reference gathers
     # candidates instead; BIG dominates any candidate cost).
-    cost = jnp.where(candidate[None, :] & gt_mask[:, None], cost, BIG)
+    cost = jnp.where(slot_ok, cost, BIG)
 
     # ---- dynamic-k matching (`yolo_head.py:542-574`) ----
-    a = ious.shape[1]
-    k_pool = min(N_CANDIDATE_K, a)
+    k_pool = min(N_CANDIDATE_K, n)
     topk_ious, _ = jax.lax.top_k(ious, k_pool)          # (M, k_pool)
     dynamic_ks = jnp.clip(
         jnp.sum(topk_ious, axis=1).astype(jnp.int32), 1, None)  # (M,)
@@ -126,30 +151,41 @@ def simota_assign(
     # never select a masked-out slot (pathological no-candidate case)
     select &= neg_cost_topv > -BIG / 2
 
-    m = gt_labels.shape[0]
-    matching = jnp.zeros((m, a), jnp.bool_)
+    matching = jnp.zeros((m, n), jnp.bool_)
     matching = jax.vmap(
         lambda row, idx, sel: row.at[idx].set(sel)
-    )(matching, topk_idx, select)                        # (M, A)
+    )(matching, topk_idx, select)                        # (M, N)
 
-    # conflict resolution: anchor matched by >1 gt -> keep argmin cost
-    n_match = jnp.sum(matching, axis=0)                  # (A,)
+    # conflict resolution: slot matched by >1 gt -> keep argmin cost
+    n_match = jnp.sum(matching, axis=0)                  # (N,)
     cost_masked = jnp.where(matching, cost, BIG)
-    best_gt = jnp.argmin(cost_masked, axis=0)            # (A,)
+    best_gt = jnp.argmin(cost_masked, axis=0)            # (N,)
     onehot_best = jax.nn.one_hot(best_gt, m, dtype=jnp.bool_).T
     matching = jnp.where(n_match[None, :] > 1, onehot_best, matching)
 
-    fg_mask = jnp.any(matching, axis=0)                  # (A,)
-    matched_gt = jnp.argmax(matching, axis=0).astype(jnp.int32)
-    matched_iou = jnp.sum(
-        jnp.where(matching, ious, 0.0), axis=0)
+    fg_cand = jnp.any(matching, axis=0)                  # (N,)
+    matched_gt_cand = jnp.argmax(matching, axis=0).astype(jnp.int32)
+    matched_iou_cand = jnp.sum(jnp.where(matching, ious, 0.0), axis=0)
+
+    # ---- scatter candidate results back to anchor space ----
+    fg_mask = jnp.zeros((a,), jnp.bool_).at[cand_idx].set(fg_cand)
+    matched_gt = jnp.zeros((a,), jnp.int32).at[cand_idx].set(
+        jnp.where(fg_cand, matched_gt_cand, 0))
+    matched_iou = jnp.zeros((a,), jnp.float32).at[cand_idx].set(
+        jnp.where(fg_cand, matched_iou_cand, 0.0))
 
     out = {
         "fg_mask": fg_mask,
         "matched_gt": matched_gt,
         "matched_iou": matched_iou,
-        "num_fg": jnp.sum(fg_mask).astype(jnp.float32),
+        "num_fg": jnp.sum(fg_cand).astype(jnp.float32),
         "num_gt": jnp.sum(gt_mask).astype(jnp.float32),
+        "cand_idx": cand_idx,
+        "fg_cand": fg_cand,
+        "matched_gt_cand": matched_gt_cand,
+        "matched_iou_cand": matched_iou_cand,
+        # telemetry: true candidate count (compaction is exact iff <= N)
+        "num_cand": jnp.sum(candidate).astype(jnp.float32),
     }
     return jax.tree.map(jax.lax.stop_gradient, out)
 
@@ -165,6 +201,10 @@ def compute_losses(
     head_out is the dict from YoloxHead.forward_train. Returns the same loss
     dict the reference trainer logs: total_loss, iou_loss, l1_loss,
     conf_loss, cls_loss, num_fg (fg-per-gt ratio).
+
+    The cls/IoU/L1 terms are summed in compacted candidate space (they are
+    identically zero off-candidate since fg implies candidate); only the
+    objectness BCE runs over all anchors, as in the reference.
     """
     outputs = head_out["outputs"].astype(jnp.float32)   # (B, A, 5+C)
     bbox_preds = outputs[..., :4]
@@ -179,46 +219,57 @@ def compute_losses(
             lab, bp, ol, cl, x_shifts, y_shifts, strides, num_classes)
     )(labels.astype(jnp.float32), bbox_preds, obj_logits, cls_logits)
 
-    fg = assign["fg_mask"]                               # (B, A)
-    fg_f = fg.astype(jnp.float32)
-    matched_gt = assign["matched_gt"]                    # (B, A)
+    fg_f = assign["fg_mask"].astype(jnp.float32)         # (B, A)
     num_fg_total = jnp.maximum(jnp.sum(assign["num_fg"]), 1.0)
     num_gts_total = jnp.maximum(jnp.sum(assign["num_gt"]), 1.0)
 
     gt_boxes = labels[..., 1:5].astype(jnp.float32)      # (B, M, 4)
     gt_cls = labels[..., 0].astype(jnp.int32)            # (B, M)
 
+    # candidate-space views
+    cand_idx = assign["cand_idx"]                        # (B, N)
+    fg_c = assign["fg_cand"].astype(jnp.float32)         # (B, N)
+    matched_gt_c = assign["matched_gt_cand"]             # (B, N)
+    preds_c = jnp.take_along_axis(
+        bbox_preds, cand_idx[..., None], axis=1)         # (B, N, 4)
+    cls_logits_c = jnp.take_along_axis(
+        cls_logits, cand_idx[..., None], axis=1)         # (B, N, C)
     reg_target = jnp.take_along_axis(
-        gt_boxes, matched_gt[..., None], axis=1)         # (B, A, 4)
-    matched_cls = jnp.take_along_axis(gt_cls, matched_gt, axis=1)  # (B, A)
+        gt_boxes, matched_gt_c[..., None], axis=1)       # (B, N, 4)
+    matched_cls = jnp.take_along_axis(gt_cls, matched_gt_c, axis=1)  # (B, N)
     cls_target = (
         jax.nn.one_hot(matched_cls, num_classes, dtype=jnp.float32)
-        * assign["matched_iou"][..., None]
+        * assign["matched_iou_cand"][..., None]
     )
 
     loss_iou = jnp.sum(
-        iou_loss(bbox_preds, reg_target) * fg_f) / num_fg_total
+        iou_loss(preds_c, reg_target) * fg_c) / num_fg_total
     loss_obj = jnp.sum(
         bce_with_logits(obj_logits, fg_f)) / num_fg_total
     loss_cls = jnp.sum(
-        jnp.sum(bce_with_logits(cls_logits, cls_target), axis=-1) * fg_f
+        jnp.sum(bce_with_logits(cls_logits_c, cls_target), axis=-1) * fg_c
     ) / num_fg_total
 
     if use_l1:
         # grid-space L1 target (`yolo_head.py:413-418`)
         eps = 1e-8
+        xs_c = jnp.take(x_shifts, cand_idx)              # (B, N)
+        ys_c = jnp.take(y_shifts, cand_idx)
+        st_c = jnp.take(strides, cand_idx)
         l1_target = jnp.stack(
             [
-                reg_target[..., 0] / strides[None] - x_shifts[None],
-                reg_target[..., 1] / strides[None] - y_shifts[None],
-                jnp.log(reg_target[..., 2] / strides[None] + eps),
-                jnp.log(reg_target[..., 3] / strides[None] + eps),
+                reg_target[..., 0] / st_c - xs_c,
+                reg_target[..., 1] / st_c - ys_c,
+                jnp.log(reg_target[..., 2] / st_c + eps),
+                jnp.log(reg_target[..., 3] / st_c + eps),
             ],
             axis=-1,
         )
-        origin_reg = head_out["origin_reg"].astype(jnp.float32)
+        origin_reg_c = jnp.take_along_axis(
+            head_out["origin_reg"].astype(jnp.float32),
+            cand_idx[..., None], axis=1)
         loss_l1 = jnp.sum(
-            jnp.sum(jnp.abs(origin_reg - l1_target), axis=-1) * fg_f
+            jnp.sum(jnp.abs(origin_reg_c - l1_target), axis=-1) * fg_c
         ) / num_fg_total
     else:
         loss_l1 = jnp.float32(0.0)
@@ -232,4 +283,8 @@ def compute_losses(
         "conf_loss": loss_obj,
         "cls_loss": loss_cls,
         "num_fg": jnp.sum(assign["num_fg"]) / num_gts_total,
+        # fraction of images whose candidate set overflowed the compaction
+        # cap (assignment deviates from the reference only when > 0)
+        "cand_overflow": jnp.mean(
+            (assign["num_cand"] > cand_idx.shape[-1]).astype(jnp.float32)),
     }
