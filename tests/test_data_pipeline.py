@@ -90,3 +90,25 @@ def test_rank_sharding_disjoint(coco_dir):
     merged = [x for pair in zip(*streams) for x in pair]
     full = list(itertools.islice(iter(InfiniteSampler(10, seed=3)), 10))
     assert merged == full
+
+
+def test_infinite_sampler_rank_sharding():
+    """Ranks see disjoint strided slices of the SAME seeded stream — the
+    data-parallel sharding contract (`samplers.py:28-83`)."""
+    from yolox_tpu.data.samplers import InfiniteSampler
+
+    import itertools
+
+    world = 4
+    streams = []
+    for rank in range(world):
+        s = InfiniteSampler(size=32, shuffle=True, seed=7, rank=rank,
+                            world_size=world)
+        streams.append(list(itertools.islice(iter(s), 16)))
+    # interleaving the rank streams reconstructs the single-rank stream
+    merged = [streams[i % world][i // world] for i in range(world * 16)]
+    single = list(itertools.islice(iter(InfiniteSampler(
+        size=32, shuffle=True, seed=7, rank=0, world_size=1)), world * 16))
+    assert merged == single
+    # per-epoch permutation covers the dataset exactly once
+    assert sorted(single[:32]) == list(range(32))

@@ -134,3 +134,56 @@ def test_visualize_assign(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     module.visualize(x, targets, save_prefix="vis_")
     assert os.path.exists(tmp_path / "vis_0.png")
+
+
+def test_visualize_assign_cli(coco_dir, tmp_path):
+    """`yolox-tpu visualize-assign` end-to-end on the synthetic COCO set."""
+    import glob as _glob
+
+    from yolox_tpu.cli import main as cli_main
+
+    out = str(tmp_path / "vis")
+    rc = cli_main([
+        "visualize-assign", "-c", "yolox-nano", "-b", "2",
+        "--output-dir", out,
+        "-D", f"data_dir={coco_dir}", "-D", "input_size=(64,64)",
+        "-D", "data_num_workers=0", "-D", "multiscale_range=0",
+    ])
+    assert rc == 0
+    pngs = _glob.glob(os.path.join(out, "assign_vis_*.png"))
+    assert len(pngs) == 2
+
+
+def test_demo_cli_video(tmp_path):
+    """`yolox-tpu demo video` writes an annotated output video."""
+    import cv2
+
+    from yolox_tpu import YoloxConfig, YoloxModule
+    from yolox_tpu.cli import main as cli_main
+    from yolox_tpu.models.weights import save_pth_params
+
+    cfg = YoloxConfig.get_named_config("yolox-nano")
+    module = YoloxModule.from_config(cfg)
+    ckpt = tmp_path / "nano.pth"
+    save_pth_params(module.params, ckpt)
+
+    vid = str(tmp_path / "in.avi")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"MJPG"), 5, (96, 64))
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        w.write(rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+    w.release()
+
+    out = str(tmp_path / "out")
+    rc = cli_main([
+        "demo", "video", "-c", "yolox-nano", "--path", vid,
+        "--ckpt", str(ckpt), "--conf", "1e-6", "--tsize", "64",
+        "--save_result", "--output-dir", out,
+    ])
+    assert rc == 0
+    import glob as _glob
+    vids = _glob.glob(os.path.join(out, "**", "*.avi"), recursive=True) + \
+        _glob.glob(os.path.join(out, "**", "*.mp4"), recursive=True)
+    assert vids, f"no output video under {out}"
+    cap = cv2.VideoCapture(vids[0])
+    assert cap.read()[0]

@@ -29,6 +29,10 @@ def main(argv=None) -> int:
         from yolox_tpu.cli import export
 
         return export.main(argv[1:]) or 0
+    if argv and argv[0] == "visualize-assign":
+        from yolox_tpu.cli import visualize_assign
+
+        return visualize_assign.main(argv[1:]) or 0
     if argv and argv[0] in ("-h", "--help"):
         _print_help()
         return 0
@@ -45,4 +49,6 @@ def _print_help():
         "  eval     evaluate a model (see `yolox-tpu eval -h`)\n"
         "  demo     run inference on images/video (see `yolox-tpu demo -h`)\n"
         "  export   export a model to StableHLO (see `yolox-tpu export -h`)\n"
+        "  visualize-assign\n"
+        "           draw SimOTA assignments for training batches\n"
     )

@@ -68,10 +68,14 @@ class Yolox:
             # Back-compat: raw batched tensor in, decoded predictions out
             # (deprecated pattern, `yolox.py:42-44`).
             return self.module(inputs)
-        images: List[Image.Image] = [
-            image if isinstance(image, Image.Image) else Image.open(image)
-            for image in inputs
-        ]
+        def to_image(image):
+            if isinstance(image, Image.Image):
+                return image
+            if isinstance(image, np.ndarray):  # HWC RGB uint8 frame
+                return Image.fromarray(image)
+            return Image.open(image)
+
+        images: List[Image.Image] = [to_image(image) for image in inputs]
         batch = self.processor(images)
         output = self.module(batch)
         return self.processor.postprocess(images, output, threshold=threshold)
