@@ -183,3 +183,30 @@ def test_postprocess_fused_matches_unfused_f32():
 
     dets_c, vc = module.serve(module.params, x, conf_thre=1e-5)
     np.testing.assert_array_equal(np.asarray(va), np.asarray(vc))
+
+
+def test_sharded_serving_matches_single_device():
+    """Data-parallel serving over the virtual mesh == single-device serve."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolox_tpu import YoloxConfig, YoloxModule
+    from yolox_tpu.parallel.mesh import data_parallel_mesh
+
+    n = min(8, jax.device_count())
+    assert n >= 2
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    module = YoloxModule.from_config(cfg)
+    x = jnp.asarray(np.random.default_rng(5).uniform(
+        0, 255, (n, 128, 128, 3)), jnp.float32)
+
+    single = module.make_serving_fn(conf_thre=1e-5, max_det=64)
+    dets1, v1 = single(module.params, x)
+
+    mesh = data_parallel_mesh(n)
+    sharded = module.make_serving_fn(mesh=mesh, conf_thre=1e-5, max_det=64)
+    detsn, vn = sharded(module.params, x)
+
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(vn))
+    np.testing.assert_allclose(np.asarray(dets1), np.asarray(detsn),
+                               rtol=1e-6, atol=1e-6)

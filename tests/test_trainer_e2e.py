@@ -161,3 +161,35 @@ def test_profiler_trace_capture(tiny_cfg, monkeypatch, tmp_path):
     traces = glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
                        recursive=True)
     assert traces, f"no trace written under {prof_dir}"
+
+
+def test_orbax_checkpoint_and_resume(tiny_cfg):
+    """-D ckpt_format=orbax: async zarr checkpoints + resume round-trip."""
+    import jax
+
+    from yolox_tpu.models.weights import nested_to_flat
+    from yolox_tpu.utils.orbax_io import latest_orbax_step
+
+    tiny_cfg.ckpt_format = "orbax"
+    trainer = tiny_cfg.get_trainer(_args(tiny_cfg.output_dir))
+    trainer.train()
+    odir = os.path.join(trainer.file_name, "orbax")
+    assert latest_orbax_step(odir) == tiny_cfg.max_epoch
+    final = {k: np.asarray(v) for k, v in nested_to_flat(
+        jax.tree.map(np.asarray, trainer.train_state["params"])).items()}
+
+    cfg2 = TinyConfig()
+    cfg2.data_dir = tiny_cfg.data_dir
+    cfg2.output_dir = tiny_cfg.output_dir
+    cfg2.ckpt_format = "orbax"
+    trainer2 = cfg2.get_trainer(_args(cfg2.output_dir, resume=True))
+    trainer2.before_train()
+    assert trainer2.start_epoch == tiny_cfg.max_epoch
+    resumed = nested_to_flat(trainer2.train_state["params"])
+    for k, v in final.items():
+        np.testing.assert_array_equal(v, np.asarray(resumed[k]), err_msg=k)
+    # momentum restored too (full state, not just weights)
+    assert any(
+        np.abs(np.asarray(m)).sum() > 0
+        for m in jax.tree.leaves(trainer2.train_state["momentum"]))
+    trainer2.after_train()

@@ -72,6 +72,9 @@ class YoloxConfig:
     print_interval: int = 10
     eval_interval: int = 10
     save_history_ckpt: bool = True
+    # "pth" (upstream-compatible torch pickles, default) or "orbax"
+    # (zarr-sharded async checkpoints, yolox_tpu/utils/orbax_io.py)
+    ckpt_format: str = "pth"
 
     # -----------------  testing config ------------------ #
     test_size: Tuple[int, int] = (640, 640)

@@ -258,6 +258,10 @@ class Trainer:
 
             jax.profiler.stop_trace()
             self._profiling = False
+        if getattr(self.exp, "ckpt_format", "pth") == "orbax":
+            from yolox_tpu.utils.orbax_io import wait_orbax
+
+            wait_orbax(os.path.join(self.file_name, "orbax"))
         if self.tblogger is not None:
             self.tblogger.close()
         if getattr(self, "wandb_logger", None):
@@ -380,6 +384,22 @@ class Trainer:
 
     def resume_train(self, params):
         """Returns (params, extra_state or None) and sets start_epoch."""
+        fmt = getattr(self.exp, "ckpt_format", "pth")
+        if getattr(self.args, "resume", False) and fmt == "orbax":
+            from yolox_tpu.core.train_step import full_params
+            from yolox_tpu.utils.orbax_io import load_orbax
+
+            ckpt = load_orbax(os.path.join(self.file_name, "orbax"))
+            state = ckpt["state"]
+            meta = ckpt["metadata"] or {}
+            self.best_ap = float(meta.get("best_ap", 0.0))
+            self.start_epoch = (self.args.start_epoch - 1
+                                if getattr(self.args, "start_epoch", None)
+                                is not None else int(ckpt["step"]))
+            logger.info(f"resumed orbax step {ckpt['step']} "
+                        f"(epoch {self.start_epoch})")
+            # state holds the complete training state; merge it wholesale
+            return full_params(state), state
         if getattr(self.args, "resume", False):
             logger.info("resume training")
             ckpt_file = self.args.ckpt or os.path.join(
@@ -464,6 +484,22 @@ class Trainer:
         if self.rank != 0:
             return
         import jax
+
+        if getattr(self.exp, "ckpt_format", "pth") == "orbax":
+            from yolox_tpu.utils.orbax_io import save_orbax
+
+            step = self.epoch + 1
+            if getattr(self, "_orbax_saved_step", None) == step:
+                return  # one orbax step per epoch ("latest"/"last_epoch"...)
+            self._orbax_saved_step = step
+            # full training state (params/stats/momentum/ema) -> host arrays
+            host_state = jax.tree.map(np.asarray, self.train_state)
+            save_orbax(host_state,
+                       os.path.join(self.file_name, "orbax"), step,
+                       metadata={"best_ap": float(self.best_ap),
+                                 "curr_ap": None if ap is None else float(ap),
+                                 "name": ckpt_name})
+            return
 
         logger.info(f"Save weights to {self.file_name}")
         save_params = jax.tree.map(np.asarray, self._eval_params())

@@ -189,6 +189,34 @@ class YoloxModule:
             raw, grid, stride, self.head.num_classes, conf_thre, nms_thre,
             class_agnostic, max_det)
 
+    def make_serving_fn(self, mesh=None, conf_thre: float = 0.5,
+                        nms_thre: float = 0.65, class_agnostic: bool = False,
+                        max_det: int = 256):
+        """Compiled serving function fn(params, x) -> (dets, valid).
+
+        With a `jax.sharding.Mesh`, the batch is sharded over the 'data'
+        axis (params replicated) and XLA runs data-parallel inference over
+        all mesh devices — batch size must be divisible by the mesh size.
+        """
+        import jax
+
+        def fn(p, x):
+            return self.serve(p, x, conf_thre=conf_thre, nms_thre=nms_thre,
+                              class_agnostic=class_agnostic, max_det=max_det)
+
+        if mesh is None:
+            return jax.jit(fn)
+        from yolox_tpu.parallel.mesh import (
+            batch_sharding,
+            replicated_sharding,
+        )
+
+        return jax.jit(
+            fn,
+            in_shardings=(replicated_sharding(mesh), batch_sharding(mesh)),
+            out_shardings=(batch_sharding(mesh), batch_sharding(mesh)),
+        )
+
     def apply_train(self, params: dict, x, collector: Optional[BNCollector]):
         """Train-mode forward (pure): head training outputs + BN updates.
 
