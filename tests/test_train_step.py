@@ -204,3 +204,22 @@ def test_bf16_train_step_runs_and_learns(tiny_module):
         a.dtype == jnp.float32
         for a in jax.tree.leaves(state["params"])
         if jnp.issubdtype(a.dtype, jnp.floating))
+
+
+def test_remat_matches_no_remat(tiny_module):
+    """jax.checkpoint remat must not change the step's numerics."""
+    from yolox_tpu.core import init_train_state, make_train_step
+
+    module, cfg = tiny_module
+    x, labels = _toy_batch()
+    outs = []
+    for remat in (False, True):
+        state = init_train_state(module.params)
+        step = make_train_step(module, cfg.num_classes, remat=remat)
+        state, m = step(state, x, labels, jnp.float32(0.01))
+        outs.append((state, float(m["total_loss"])))
+    assert outs[0][1] == pytest.approx(outs[1][1], rel=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[0][0]["params"]),
+                    jax.tree.leaves(outs[1][0]["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

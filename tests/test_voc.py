@@ -120,3 +120,28 @@ def test_voc_eval_wrong_class_scores_zero(voc_dir):
             [[box[0] - 1, box[1] - 1, box[2] - 1, box[3] - 1, 0.99]])
     map5095, map50 = ds.evaluate_detections(all_boxes)
     assert map50 == pytest.approx(0.0)
+
+
+def test_voc_evaluator_end_to_end(voc_dir):
+    """VocEvaluator.evaluate over the pipelined inference loop."""
+    import jax.numpy as jnp
+
+    from yolox_tpu import YoloxConfig, YoloxModule
+    from yolox_tpu.data import DataLoader, SequentialBatchSampler, ValTransform
+    from yolox_tpu.data.datasets import VocDetection
+    from yolox_tpu.evaluators import VocEvaluator
+
+    root, _ = voc_dir
+    ds = VocDetection(root, image_sets=[("2007", "trainval")],
+                      img_size=(64, 64), preproc=ValTransform())
+    loader = DataLoader(ds, SequentialBatchSampler(len(ds), batch_size=2),
+                        num_workers=0)
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    cfg.num_classes = 20
+    module = YoloxModule.from_config(cfg)
+    evaluator = VocEvaluator(dataloader=loader, img_size=(64, 64),
+                             confthre=1e-6, nmsthre=0.65, num_classes=20)
+    map5095, map50, summary = evaluator.evaluate(
+        lambda x: module(jnp.asarray(np.asarray(x), jnp.float32)))
+    assert 0.0 <= map50 <= 1.0 and 0.0 <= map5095 <= 1.0
+    assert summary

@@ -75,6 +75,10 @@ class YoloxConfig:
     # "pth" (upstream-compatible torch pickles, default) or "orbax"
     # (zarr-sharded async checkpoints, yolox_tpu/utils/orbax_io.py)
     ckpt_format: str = "pth"
+    # rematerialize the forward in the backward pass (jax.checkpoint):
+    # activation memory ~O(1 layer) for ~1 extra forward of compute —
+    # enables large-batch yolox-l/x training on a single chip
+    remat: bool = False
 
     # -----------------  testing config ------------------ #
     test_size: Tuple[int, int] = (640, 640)

@@ -77,6 +77,7 @@ def make_train_step(
     compute_dtype=jnp.float32,
     use_l1: bool = False,
     freeze_prefix: Optional[str] = None,
+    remat: bool = False,
 ):
     """Returns step(state, x, labels, lr) -> (state, metrics).
 
@@ -102,13 +103,24 @@ def make_train_step(
     def step_local(state, x, labels, lr):
         wd_mask = weight_decay_mask(state["params"])
 
+        def forward(params, xin):
+            collector = BNCollector()
+            head_out = module.apply_train(params, xin, collector)
+            return head_out, collector.updates
+
+        if remat:
+            # rematerialize the forward in the backward pass: activation
+            # memory ~O(1 layer) at the cost of one extra forward — lets
+            # yolox-l/x train at large batch on a single chip
+            # (`jax.checkpoint`; reference has no analog, it just OOMs).
+            forward = jax.checkpoint(forward)
+
         def loss_fn(trainable):
             params = merge_params(trainable, state["stats"])
-            collector = BNCollector()
             xin = x.astype(compute_dtype)
-            head_out = module.apply_train(params, xin, collector)
+            head_out, bn_updates = forward(params, xin)
             losses = compute_losses(head_out, labels, num_classes, use_l1)
-            return losses["total_loss"], (losses, collector.updates)
+            return losses["total_loss"], (losses, bn_updates)
 
         (_, (losses, bn_updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])

@@ -196,6 +196,7 @@ class Trainer:
             mesh=self.mesh,
             compute_dtype=compute_dtype,
             freeze_prefix=getattr(self.exp, "freeze_prefix", None),
+            remat=getattr(self.exp, "remat", False),
         )
         self._step = make_train_step(
             self.module, self.exp.num_classes, use_l1=False, **common)

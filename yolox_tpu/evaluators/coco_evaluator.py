@@ -114,21 +114,38 @@ class CocoEvaluator:
         inference_time = 0.0
         n_samples = max(len(self.dataloader) - 1, 1)
 
+        # software pipelining: dispatch batch k+1 before fetching batch k's
+        # results, so host-side COCO conversion overlaps device compute
+        # (JAX async dispatch; the reference is fully synchronous per batch)
+        pending = None  # (device_dets, device_valid, info_imgs, ids, timed)
+
+        def drain(p):
+            nonlocal inference_time
+            dev_dets, dev_valid, p_info, p_ids, timed = p
+            t0 = time.time()
+            dets = np.asarray(dev_dets)   # fetch = sync point
+            valid = np.asarray(dev_valid)
+            if timed:
+                inference_time += time.time() - t0
+            data_list_elem, image_wise_data = self.convert_to_coco_format(
+                dets, valid, p_info, p_ids, return_outputs=True)
+            data_list.extend(data_list_elem)
+            output_data.update(image_wise_data)
+
         for cur_iter, (imgs, _, info_imgs, ids) in enumerate(
                 self.dataloader):
             is_time_record = cur_iter < len(self.dataloader) - 1
             if is_time_record:
                 start = time.time()
-            dets, valid = infer(imgs)
-            dets = np.asarray(dets)   # fetch = sync point
-            valid = np.asarray(valid)
+            dets, valid = infer(imgs)    # async dispatch
             if is_time_record:
                 inference_time += time.time() - start
-
-            data_list_elem, image_wise_data = self.convert_to_coco_format(
-                dets, valid, info_imgs, ids, return_outputs=True)
-            data_list.extend(data_list_elem)
-            output_data.update(image_wise_data)
+            prev, pending = pending, (dets, valid, info_imgs, ids,
+                                      is_time_record)
+            if prev is not None:
+                drain(prev)
+        if pending is not None:
+            drain(pending)
 
         statistics = np.array(
             [inference_time, 0.0, float(n_samples)], np.float64)

@@ -35,6 +35,21 @@ class VocEvaluator:
         inference_time = 0.0
         n_samples = max(len(self.dataloader) - 1, 1)
 
+        # software pipelining, as in CocoEvaluator: dispatch batch k+1
+        # before fetching batch k so conversion overlaps device compute
+        pending = None
+
+        def drain(p):
+            nonlocal inference_time
+            dev_dets, dev_valid, p_info, p_ids, timed = p
+            t0 = time.time()
+            dets = np.asarray(dev_dets)
+            valid = np.asarray(dev_valid)
+            if timed:
+                inference_time += time.time() - t0
+            data_dict.update(
+                self.convert_to_voc_format(dets, valid, p_info, p_ids))
+
         for cur_iter, (imgs, _, info_imgs, ids) in enumerate(
                 self.dataloader):
             is_time_record = cur_iter < len(self.dataloader) - 1
@@ -45,13 +60,14 @@ class VocEvaluator:
                 out, self.num_classes, conf_thre=self.confthre,
                 nms_thre=self.nmsthre, class_agnostic=False,
                 max_det=self.max_det)
-            dets = np.asarray(dets)
-            valid = np.asarray(valid)
             if is_time_record:
                 inference_time += time.time() - start
-
-            data_dict.update(
-                self.convert_to_voc_format(dets, valid, info_imgs, ids))
+            prev, pending = pending, (dets, valid, info_imgs, ids,
+                                      is_time_record)
+            if prev is not None:
+                drain(prev)
+        if pending is not None:
+            drain(pending)
 
         if distributed and jax.process_count() > 1:
             from yolox_tpu.parallel.mesh import all_gather_objects
