@@ -19,7 +19,6 @@ XLA program; the host only feeds batches and the LR scalar.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
