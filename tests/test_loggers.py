@@ -108,3 +108,46 @@ def test_mlflow_logger_noop_without_package(monkeypatch):
     assert not ml.enabled
     ml.setup()
     ml.on_log(None, None, 1, {"x": 1.0})
+
+
+@pytest.fixture()
+def fake_mlflow(monkeypatch):
+    calls = {"params": {}, "metrics": [], "artifacts": [], "ended": False}
+    mod = types.ModuleType("mlflow")
+    mod.set_tracking_uri = lambda uri: calls.__setitem__("uri", uri)
+    mod.set_experiment = lambda name: calls.__setitem__("experiment", name)
+    mod.start_run = lambda run_name=None: types.SimpleNamespace(
+        info=types.SimpleNamespace(run_id="r1"), run_name=run_name)
+    mod.log_params = lambda p: calls["params"].update(p)
+    mod.log_metrics = lambda m, step=None: calls["metrics"].append((m, step))
+    mod.log_artifact = lambda p: calls["artifacts"].append(p)
+    mod.end_run = lambda: calls.__setitem__("ended", True)
+    monkeypatch.setitem(sys.modules, "mlflow", mod)
+    return calls
+
+
+def test_mlflow_logger_full_cycle(fake_mlflow, monkeypatch, tmp_path):
+    monkeypatch.setenv("MLFLOW_TRACKING_URI", "file:///tmp/mlruns")
+    monkeypatch.setenv("YOLOX_MLFLOW_EXPERIMENT_NAME", "exp1")
+    monkeypatch.setenv("YOLOX_MLFLOW_LOG_MODEL_ARTIFACTS", "True")
+    from yolox_tpu import YoloxConfig
+    from yolox_tpu.utils.mlflow_logger import MlflowLogger
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    ml = MlflowLogger()
+    assert ml.enabled
+    ml.setup(exp=cfg)
+    assert fake_mlflow["uri"] == "file:///tmp/mlruns"
+    assert fake_mlflow["experiment"] == "exp1"
+    assert fake_mlflow["params"]["num_classes"] == 80
+
+    ml.on_log(None, cfg, 3, {"train/loss": 2.0})
+    assert fake_mlflow["metrics"][-1] == ({"train_loss": 2.0}, 3)
+
+    (tmp_path / "latest_ckpt.pth").write_bytes(b"x")
+    ml.save_checkpoints(None, cfg, str(tmp_path), 3, {}, False)
+    assert fake_mlflow["artifacts"]
+
+    ml.on_train_end(None, metadata={"best_ap": 0.1})
+    assert fake_mlflow["ended"]
+    assert fake_mlflow["params"]["final_best_ap"] == "0.1"
