@@ -210,3 +210,19 @@ def test_sharded_serving_matches_single_device():
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(vn))
     np.testing.assert_allclose(np.asarray(dets1), np.asarray(detsn),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_serve_accepts_uint8():
+    import jax.numpy as jnp
+
+    from yolox_tpu import YoloxConfig, YoloxModule
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    module = YoloxModule.from_config(cfg)
+    xu8 = np.random.default_rng(4).integers(
+        0, 255, (1, 128, 128, 3), dtype=np.uint8)
+    d1, v1 = module.serve(module.params, jnp.asarray(xu8), conf_thre=1e-5)
+    d2, v2 = module.serve(module.params,
+                          jnp.asarray(xu8, jnp.float32), conf_thre=1e-5)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
