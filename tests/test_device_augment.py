@@ -1,0 +1,237 @@
+"""Device-side augmentation vs the host cv2 pipeline.
+
+Exactness bars: warp_affine vs cv2.warpAffine within fixed-point bilinear
+tolerance; mosaic geometry = the reference paste formulas on identical
+draws; labels always consistent with where the pixels actually land.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _checker(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+
+def test_warp_affine_matches_cv2():
+    import cv2
+
+    from yolox_tpu.data.device_augment import warp_affine
+
+    img = _checker(120, 160)
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        ang = rng.uniform(-30, 30)
+        scale = rng.uniform(0.5, 1.5)
+        m = cv2.getRotationMatrix2D((0, 0), ang, scale)
+        m[:, 2] = rng.uniform(-30, 30, 2)
+        want = cv2.warpAffine(img, m, dsize=(96, 80),
+                              borderValue=(114, 114, 114)).astype(np.float32)
+        got = np.asarray(warp_affine(
+            jnp.asarray(img), jnp.asarray(m, jnp.float32), (80, 96)))
+        # cv2 uses 5-bit fixed-point bilinear; border pixels can blend
+        # content with the 114 constant differently — compare the interior
+        # agreement rate and value error where both sampled content
+        close = np.abs(got - want) <= 6.0
+        assert close.mean() > 0.97, (seed, close.mean())
+
+
+def test_mosaic_geometry_matches_reference_formula():
+    """_mosaic_geometry == get_mosaic_coordinate for random sizes."""
+    from yolox_tpu.data.datasets.mosaicdetection import get_mosaic_coordinate
+    from yolox_tpu.data.device_augment import _mosaic_geometry
+
+    rng = np.random.default_rng(1)
+    s = 64
+    for _ in range(20):
+        hw = rng.integers(16, 65, (4, 2)).astype(np.float32)
+        xc = int(rng.integers(32, 97))
+        yc = int(rng.integers(32, 97))
+        paste, offset = _mosaic_geometry(
+            jnp.asarray(hw), float(xc), float(yc), float(s), float(s))
+        for i in range(4):
+            (x1, y1, x2, y2), (sx1, sy1, _, _) = get_mosaic_coordinate(
+                i, xc, yc, int(hw[i, 1]), int(hw[i, 0]), s, s)
+            np.testing.assert_allclose(
+                np.asarray(paste[i]), [x1, y1, x2, y2], err_msg=str(i))
+            np.testing.assert_allclose(
+                np.asarray(offset[i]), [x1 - sx1, y1 - sy1])
+
+
+def test_mosaic_identity_affine_places_tiles():
+    """With the identity affine shifted to view the canvas TL quadrant,
+    output pixels must equal the source tile pixels at the right spots."""
+    from yolox_tpu.data.device_augment import mosaic_warp
+
+    s = 64
+    tiles = np.zeros((4, s, s, 3), np.uint8)
+    for i in range(4):
+        tiles[i] = (i + 1) * 50
+    hw = np.full((4, 2), s, np.float32)
+    xc, yc = 64.0, 64.0  # center at (s, s): all quadrants fully covered
+    # affine = crop the canvas window [32, 32+64) (center region)
+    m = np.array([[1.0, 0, -32.0], [0, 1.0, -32.0]], np.float32)
+    out = np.asarray(mosaic_warp(
+        jnp.asarray(tiles), jnp.asarray(hw), jnp.asarray(m), xc, yc,
+        (s, s)))
+    # output pixel (0,0) <- canvas (32,32): quadrant TL -> tile 0
+    assert np.allclose(out[0, 0], 50)
+    # output pixel (63, 63) <- canvas (95, 95): BR -> tile 3
+    assert np.allclose(out[60, 60], 200)
+    # (0, 63) <- canvas (95, 32): TR tile 1; (63, 0) -> BL tile 2
+    assert np.allclose(out[0, 60], 100)
+    assert np.allclose(out[60, 0], 150)
+
+
+def test_device_augment_batch_labels_on_content():
+    """End-to-end: boxes returned must sit on actual (non-pad) content."""
+    from yolox_tpu.data.device_augment import device_augment_batch
+
+    s = 96
+    b = 4
+    rng = np.random.default_rng(3)
+    tiles = np.zeros((b, 5, s, s, 3), np.uint8)
+    tile_hw = np.zeros((b, 5, 2), np.float32)
+    labels = np.zeros((b, 5, 8, 5), np.float32)
+    for bi in range(b):
+        for ti in range(5):
+            h = int(rng.integers(48, s + 1))
+            w = int(rng.integers(48, s + 1))
+            tiles[bi, ti, :h, :w] = rng.integers(
+                60, 255, (h, w, 3), dtype=np.uint8)
+            tile_hw[bi, ti] = (h, w)
+            labels[bi, ti, 0] = [8.0, 8.0, w - 8.0, h - 8.0,
+                                 float(rng.integers(0, 80))]
+
+    imgs, out_labels = device_augment_batch(
+        jnp.asarray(tiles), jnp.asarray(tile_hw), jnp.asarray(labels),
+        jax.random.PRNGKey(0), out_size=(s, s), max_labels=16)
+    imgs = np.asarray(imgs)
+    out_labels = np.asarray(out_labels)
+    assert imgs.shape == (b, s, s, 3) and out_labels.shape == (b, 16, 5)
+    assert np.isfinite(imgs).all() and (imgs >= 0).all() \
+        and (imgs <= 255).all()
+
+    n_with_labels = 0
+    for bi in range(b):
+        rows = out_labels[bi]
+        live = rows[np.abs(rows).sum(1) > 0]
+        # an aggressive affine can clip out every label (reference
+        # behavior too) — but not for most of the batch
+        n_with_labels += bool(len(live))
+        for cls, cx, cy, w, h in live:
+            assert 0 <= cx <= s and 0 <= cy <= s and w > 1 and h > 1
+            # the box region must contain some non-114 content
+            x1 = int(max(cx - w / 2, 0)); x2 = int(min(cx + w / 2, s))
+            y1 = int(max(cy - h / 2, 0)); y2 = int(min(cy + h / 2, s))
+            region = imgs[bi, y1:y2, x1:x2]
+            assert (np.abs(region - 114.0) > 5).mean() > 0.1, (bi, cls)
+    assert n_with_labels >= b // 2
+
+
+def test_device_augment_deterministic():
+    from yolox_tpu.data.device_augment import device_augment_batch
+
+    s = 64
+    rng = np.random.default_rng(5)
+    tiles = rng.integers(0, 255, (2, 5, s, s, 3), dtype=np.uint8)
+    hw = np.full((2, 5, 2), s, np.float32)
+    labels = np.zeros((2, 5, 4, 5), np.float32)
+    labels[..., 0, :] = [4, 4, 40, 40, 1]
+    args = (jnp.asarray(tiles), jnp.asarray(hw), jnp.asarray(labels))
+    a1, l1 = device_augment_batch(*args, jax.random.PRNGKey(7),
+                                  out_size=(s, s), max_labels=8)
+    a2, l2 = device_augment_batch(*args, jax.random.PRNGKey(7),
+                                  out_size=(s, s), max_labels=8)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    a3, _ = device_augment_batch(*args, jax.random.PRNGKey(8),
+                                 out_size=(s, s), max_labels=8)
+    assert not np.array_equal(np.asarray(a1), np.asarray(a3))
+
+
+def test_shear_reference_matches_numpy():
+    from yolox_tpu.ops.pallas_warp import shear_x_reference
+
+    rng = np.random.default_rng(0)
+    b, c, h, wp, out_w = 2, 3, 32, 128, 64
+    img = rng.uniform(0, 255, (b, c, h, wp)).astype(np.float32)
+    shifts = rng.uniform(1.0, 60.0, (b, h)).astype(np.float32)
+    got = np.asarray(shear_x_reference(
+        jnp.asarray(img), jnp.asarray(shifts), out_w))
+    for bi in range(b):
+        for i in range(h):
+            s = shifts[bi, i]
+            k, f = int(np.floor(s)), s - np.floor(s)
+            want = img[bi, :, i, k:k + out_w] * (1 - f) \
+                + img[bi, :, i, k + 1:k + 1 + out_w] * f
+            np.testing.assert_allclose(got[bi, :, i], want, rtol=1e-5,
+                                       atol=1e-3)
+
+
+def test_mosaic_affine_warp_exact_on_integer_transform():
+    """With an integer pure-translation affine, the multi-pass engine is
+    exact: compare against the gather-based reference warp."""
+    from yolox_tpu.data.device_augment import mosaic_warp
+    from yolox_tpu.ops.pallas_warp import mosaic_affine_warp
+
+    s = 64
+    rng = np.random.default_rng(2)
+    tiles = np.zeros((1, 4, s, s, 3), np.uint8)
+    hw = np.zeros((1, 4, 2), np.float32)
+    for t in range(4):
+        h = int(rng.integers(40, s + 1)); w = int(rng.integers(40, s + 1))
+        tiles[0, t, :h, :w] = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        hw[0, t] = (h, w)
+    xc, yc = 70.0, 58.0
+    m = np.array([[1.0, 0.0, -17.0], [0.0, 1.0, -23.0]], np.float32)
+
+    got = np.asarray(mosaic_affine_warp(
+        jnp.asarray(tiles), jnp.asarray(hw), jnp.asarray(m)[None],
+        jnp.asarray([xc]), jnp.asarray([yc]), (s, s)))[0]
+    want = np.asarray(mosaic_warp(
+        jnp.asarray(tiles[0]), jnp.asarray(hw[0]), jnp.asarray(m),
+        xc, yc, (s, s)))
+    np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+def test_mosaic_affine_warp_close_on_general_affine():
+    """General rotation/scale/shear: the 3-pass engine differs from
+    single-pass bilinear only by interpolation order — compare on smooth
+    content with a tight tolerance."""
+    from yolox_tpu.data.device_augment import mosaic_warp
+    from yolox_tpu.ops.pallas_warp import mosaic_affine_warp
+
+    s = 64
+    xc, yc = 64.0, 64.0
+    # tiles crafted so the assembled canvas is a globally smooth gradient
+    # (content continuous across quadrant boundaries; multi-pass and
+    # single-pass interpolation then agree except at the outer border)
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    tiles = np.zeros((1, 4, s, s, 3), np.uint8)
+    for t, (ox, oy) in enumerate([(0, 0), (64, 0), (0, 64), (64, 64)]):
+        cx_, cy_ = xx + ox, yy + oy
+        tiles[0, t] = np.stack(
+            [cx_ * 1.5, cy_ * 1.5, (cx_ + cy_) * 0.75], -1).astype(np.uint8)
+    hw = np.full((1, 4, 2), s, np.float32)
+    ang = np.deg2rad(8.0)
+    sc = 1.3
+    m = np.array([
+        [np.cos(ang) * sc, np.sin(ang) * sc, -40.0],
+        [-np.sin(ang) * sc, np.cos(ang) * sc, -30.0],
+    ], np.float32)
+
+    got = np.asarray(mosaic_affine_warp(
+        jnp.asarray(tiles), jnp.asarray(hw), jnp.asarray(m)[None],
+        jnp.asarray([xc]), jnp.asarray([yc]), (s, s)))[0]
+    want = np.asarray(mosaic_warp(
+        jnp.asarray(tiles[0]), jnp.asarray(hw[0]), jnp.asarray(m),
+        xc, yc, (s, s)))
+    # agree where both sample content or both sample the 114 border;
+    # the 1px frontier can differ by interpolation-order effects
+    close = np.abs(got - want) <= 3.0
+    assert close.mean() > 0.98, close.mean()

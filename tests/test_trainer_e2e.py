@@ -218,3 +218,17 @@ def test_training_bitwise_deterministic(tiny_cfg, tmp_path):
     assert p1.keys() == p2.keys()
     for k in p1:
         np.testing.assert_array_equal(p1[k], p2[k], err_msg=k)
+
+
+def test_training_with_device_augment(tiny_cfg):
+    """-D device_augment=True: mosaic/affine/mixup/HSV/flip run on device;
+    the host loader only serves raw tiles. Covers the no-aug switch back to
+    the host letterbox loader (max_epoch=2, no_aug_epochs=1)."""
+    tiny_cfg.device_augment = True
+    trainer = tiny_cfg.get_trainer(_args(tiny_cfg.output_dir))
+    trainer.train()
+    assert np.isfinite(float(np.asarray(
+        trainer.meter["total_loss"].latest)))
+    # epoch 2 is the no-aug phase: device augmentation must be off
+    assert trainer._device_augment is False
+    assert trainer.use_l1 is True

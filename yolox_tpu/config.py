@@ -79,6 +79,10 @@ class YoloxConfig:
     # activation memory ~O(1 layer) for ~1 extra forward of compute —
     # enables large-batch yolox-l/x training on a single chip
     remat: bool = False
+    # run mosaic/affine/MixUp/HSV/flip on the TPU instead of host cv2
+    # (yolox_tpu/data/device_augment.py) — for CPU-poor TPU hosts where
+    # the input pipeline cannot feed the chips
+    device_augment: bool = False
 
     # -----------------  testing config ------------------ #
     test_size: Tuple[int, int] = (640, 640)
@@ -163,7 +167,24 @@ class YoloxConfig:
                 "before launch")
             self.dataset = self.get_dataset(cache=False)
 
-        dataset = MosaicDetection(
+        if self.device_augment and not no_aug:
+            # raw-tile loader: all augmentation runs on device
+            # (yolox_tpu/data/device_augment.py)
+            from yolox_tpu.data.device_augment import TileDataset
+
+            dataset = TileDataset(self.dataset,
+                                  tile_size=max(self.input_size))
+        elif self.device_augment and no_aug:
+            # no-aug phase: plain letterbox path, host side (cheap)
+            dataset = MosaicDetection(
+                dataset=self.dataset, mosaic=False,
+                img_size=self.input_size,
+                preproc=TrainTransform(
+                    max_labels=120, flip_prob=self.flip_prob,
+                    hsv_prob=self.hsv_prob),
+            )
+        else:
+            dataset = MosaicDetection(
             dataset=self.dataset,
             mosaic=not no_aug,
             img_size=self.input_size,

@@ -120,9 +120,11 @@ class Trainer:
         batch = self.prefetcher.next()
         if batch is None:  # infinite sampler never ends, but be safe
             return
-        inps, targets, _, _ = batch
+        inps, targets, infos, _ = batch
         data_end_time = time.time()
 
+        if self._device_augment:
+            inps, targets = self._apply_device_augment(inps, targets, infos)
         inps, targets = self._multiscale_resize(inps, targets)
         lr = self.lr_scheduler.update_lr(self.progress_in_iter + 1)
 
@@ -137,6 +139,31 @@ class Trainer:
             lr=lr,
             **outputs,
         )
+
+    def _apply_device_augment(self, tiles, labels, infos):
+        """Run the on-device augmentation pipeline on a raw-tile batch
+        (config.device_augment; yolox_tpu/data/device_augment.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from yolox_tpu.data.device_augment import device_augment_batch
+
+        hw = jnp.asarray(np.stack([np.asarray(i) for i in infos]),
+                         jnp.float32)
+        if self._batch_sharding is not None:
+            hw = jax.device_put(hw, self._batch_sharding)
+        key = jax.random.fold_in(self._aug_key, self.progress_in_iter)
+        cfg = self.exp
+        return device_augment_batch(
+            tiles, hw, labels.astype(jnp.float32), key,
+            out_size=tuple(self.input_size), max_labels=120,
+            degrees=float(cfg.degrees), translate=float(cfg.translate),
+            scales=tuple(cfg.mosaic_scale),
+            mixup_scale=tuple(cfg.mixup_scale), shear=float(cfg.shear),
+            enable_mixup=bool(cfg.enable_mixup),
+            flip_prob=float(cfg.flip_prob), hsv_prob=float(cfg.hsv_prob),
+            mosaic_prob=float(cfg.mosaic_prob),
+            mixup_prob=float(cfg.mixup_prob))
 
     def before_train(self):
         import jax
@@ -173,6 +200,10 @@ class Trainer:
             no_aug=self.no_aug,
             cache_img=getattr(self.args, "cache", None),
         )
+        self._device_augment = (
+            bool(getattr(self.exp, "device_augment", False))
+            and not self.no_aug)
+        self._aug_key = jax.random.PRNGKey((self.exp.seed or 0) + 777)
         self.max_iter = len(self.train_loader.dataset) // \
             self.args.batch_size
         self.lr_scheduler = self.exp.get_lr_scheduler(
@@ -274,7 +305,21 @@ class Trainer:
         if (self.epoch + 1 == self.max_epoch - self.exp.no_aug_epochs
                 or self.no_aug):
             logger.info("--->No mosaic aug now!")
-            self.train_loader.close_mosaic()
+            if self._device_augment:
+                # switch from the raw-tile device pipeline to the plain
+                # host letterbox loader for the no-aug phase
+                import jax
+
+                self._device_augment = False
+                self.train_loader.close()
+                self.train_loader = self.exp.get_data_loader(
+                    batch_size=self.args.batch_size,
+                    is_distributed=jax.process_count() > 1,
+                    no_aug=True,
+                    cache_img=getattr(self.args, "cache", None),
+                )
+            else:
+                self.train_loader.close_mosaic()
             self.prefetcher = None
             from yolox_tpu.data import DevicePrefetcher
 

@@ -1,0 +1,270 @@
+"""TPU-native affine warp engine for device-side augmentation.
+
+Arbitrary per-pixel gathers serialize on TPU (~ns/element), so the mosaic
++ affine warp is decomposed into TPU-friendly passes instead
+(`yolox_tpu/data/device_augment.py` is the consumer):
+
+  output(x) = canvas(Minv x + t),  Minv = D · L · U   (scale leftmost)
+
+  1. **scale pass (MXU)**: h1 = resample of the virtual mosaic canvas at
+     scale/translate D,t — computed canvas-free as a sum of banded
+     interpolation matmuls over the 4 tiles (`Ay_t @ tile_t @ Ax_t^T`),
+     with the 114 border entering through the interpolation-weight
+     deficit `114 * (1 - coverage)`. The 2x canvas is never materialized.
+  2. **y-shear pass (Pallas)**: h2[r, s] = h1[r + cL*(s - m), s] — per-
+     column vertical shift, run as the x-shear kernel on the transpose.
+  3. **x-shear pass (Pallas)**: out[i, j] = h2[i, j + uU*i + m] — per-row
+     horizontal fractional shift, implemented with `tpu.dynamic_rotate`
+     (pltpu.roll) + two-tap lerp; lane slices stay 128-aligned.
+
+Exactness: the banded matmul resample is bitwise bilinear; the 3-pass
+composition differs from single-pass bilinear only in interpolation
+order (slightly softer on high-frequency content — the usual multi-pass
+warp tradeoff; labels use exact closed-form affine math and are
+unaffected). The decomposition D·L·U requires |rotation+shear| < 90°,
+which the augmentation ranges guarantee.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD = 114.0
+MARGIN = 256  # shear slack; |shear slope| * (S + MARGIN) must fit
+
+
+def ldu_decompose(minv):
+    """Minv = diag(p, q) @ [[1, 0], [cl, 1]] @ [[1, uu], [0, 1]].
+
+    Returns (p, q, cl, uu). Valid while minv[0, 0] != 0 (rotations far
+    from 90°, always true for augmentation angles)."""
+    a, b = minv[0, 0], minv[0, 1]
+    c, d = minv[1, 0], minv[1, 1]
+    uu = b / a
+    q = d - c * uu
+    cl = c / q
+    return a, q, cl, uu
+
+
+def affine_inverse_2x3(m):
+    a, b, tx = m[0]
+    c, d, ty = m[1]
+    det = a * d - b * c
+    ia, ib = d / det, -b / det
+    ic, id_ = -c / det, a / det
+    return (jnp.stack([jnp.stack([ia, ib]), jnp.stack([ic, id_])]),
+            jnp.stack([-(ia * tx + ib * ty), -(ic * tx + id_ * ty)]))
+
+
+# ---------------------------------------------------------------------------
+# pass 1: canvas-free separable resample (MXU)
+# ---------------------------------------------------------------------------
+
+def _hat(centers, coords):
+    """Bilinear weights (R, Y): max(0, 1 - |center_r - coord_y|)."""
+    return jnp.maximum(
+        0.0, 1.0 - jnp.abs(centers[:, None] - coords[None, :]))
+
+
+def scale_resample_tiles(tiles, tile_hw, offsets, xs, ys, canvas_hw,
+                         border=PAD, zero_outside_canvas=False):
+    """h1[r, s, c] = canvas(xs[s], ys[r]) for a virtual canvas of size
+    canvas_hw holding `tiles` pasted at integer `offsets`, border-filled
+    with `border` (cv2 BORDER_CONSTANT both outside tiles and outside the
+    canvas; with zero_outside_canvas, outside-canvas reads 0 instead —
+    the mixup zero-pad semantics).
+
+    tiles: (N, T, T, 3) uint8/float; tile_hw (N, 2) true sizes;
+    offsets (N, 2) [ox, oy] float (integer-valued); xs (W,), ys (R,)
+    float canvas sample coords. Returns (R, W, 3) f32.
+    """
+    ch, cw = canvas_hw
+    t = tiles.shape[1]
+    ty_idx = jnp.arange(t, dtype=jnp.float32)
+
+    def tile_term(tile, hw, off):
+        ycv = off[1] + ty_idx                       # (T,) canvas y coords
+        xcv = off[0] + ty_idx
+        in_tile_y = ty_idx < hw[0]
+        in_tile_x = ty_idx < hw[1]
+        ay = _hat(ys, ycv) * (in_tile_y & (ycv >= 0) & (ycv < ch))[None, :]
+        ax = _hat(xs, xcv) * (in_tile_x & (xcv >= 0) & (xcv < cw))[None, :]
+        tmp = jnp.einsum("ry,yxc->rxc", ay, tile.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        term = jnp.einsum("rxc,sx->rsc", tmp, ax,
+                          preferred_element_type=jnp.float32)
+        cov = jnp.outer(ay.sum(1), ax.sum(1))
+        return term, cov
+
+    terms, covs = jax.vmap(tile_term)(tiles, tile_hw, offsets)
+    h1 = jnp.sum(terms, axis=0)
+    cov = jnp.clip(jnp.sum(covs, axis=0), 0.0, 1.0)
+
+    if zero_outside_canvas:
+        # border only within the canvas; zero beyond it
+        covy = jnp.clip(jnp.minimum(ys + 1.0, ch - ys), 0.0, 1.0)
+        covx = jnp.clip(jnp.minimum(xs + 1.0, cw - xs), 0.0, 1.0)
+        cov_canvas = jnp.outer(covy, covx)
+        h1 = h1 + border * jnp.maximum(cov_canvas - cov, 0.0)[..., None]
+    else:
+        h1 = h1 + border * (1.0 - cov)[..., None]
+    return h1
+
+
+# ---------------------------------------------------------------------------
+# passes 2+3: fractional shear via Pallas dynamic lane rotate
+# ---------------------------------------------------------------------------
+
+def _shear_kernel(shift_ref, in_ref, out_ref, *, out_w: int):
+    h = out_ref.shape[2]
+
+    def body(i, _):
+        s = shift_ref[0, i, 0]
+        k = jnp.floor(s).astype(jnp.int32)
+        f = s - k.astype(jnp.float32)
+        row = in_ref[0, 0, pl.ds(i, 1), :]           # (1, WP)
+        ra = pltpu.roll(row, shift=-k, axis=1)
+        rb = pltpu.roll(row, shift=-(k + 1), axis=1)
+        out_ref[0, 0, pl.ds(i, 1), :] = (
+            ra[:, :out_w] * (1.0 - f) + rb[:, :out_w] * f)
+        return 0
+
+    jax.lax.fori_loop(0, h, body, 0)
+
+
+def shear_x(img, shifts, out_w: int):
+    """out[b, c, i, j] = img[b, c, i, j + shifts[b, i]] (bilinear in x).
+
+    img: (B, C, H, WP) f32 — WP must be a multiple of 128 and large enough
+    that j + shift stays in [0, WP-1). shifts: (B, H) f32.
+    """
+    b, c, h, wp = img.shape
+    kernel = partial(_shear_kernel, out_w=out_w)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, c),
+        in_specs=[
+            pl.BlockSpec((1, h, 1), lambda bi, ci: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, h, wp), lambda bi, ci: (bi, ci, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h, out_w), lambda bi, ci: (bi, ci, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, out_w), jnp.float32),
+    )(shifts[..., None], img)
+
+
+def shear_x_reference(img, shifts, out_w: int):
+    """Pure-XLA fallback of shear_x (scan of dynamic slices) for backends
+    without Pallas TPU support (CPU tests)."""
+    def one(im, s):  # im (C, H, WP), s (H,)
+        k = jnp.floor(s).astype(jnp.int32)
+        f = s - k
+
+        def body(carry, args):
+            row, ki, fi = args                      # row (C, WP)
+            a = jax.lax.dynamic_slice(row, (0, ki), (row.shape[0], out_w))
+            bb = jax.lax.dynamic_slice(row, (0, ki + 1),
+                                       (row.shape[0], out_w))
+            return carry, a * (1 - fi) + bb * fi
+
+        _, rows = jax.lax.scan(body, 0, (jnp.swapaxes(im, 0, 1), k, f))
+        return jnp.swapaxes(rows, 0, 1)             # (C, H, out_w)
+
+    return jax.vmap(one)(img, shifts)
+
+
+def _use_pallas():
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# full warp: mosaic tiles + affine -> output
+# ---------------------------------------------------------------------------
+
+def mosaic_affine_warp(tiles, tile_hw, m, xc, yc, out_size: Tuple[int, int],
+                       margin: int = MARGIN):
+    """Batched fused mosaic + affine warp, TPU-native.
+
+    tiles (B, 4, T, T, 3) uint8; tile_hw (B, 4, 2); m (B, 2, 3) affine
+    (canvas -> output, cv2 convention); xc/yc (B,) mosaic centers.
+    Returns (B, S, S, 3) f32. out_size must be square (S, S).
+    """
+    s = out_size[0]
+    assert out_size[0] == out_size[1], "mosaic output is square"
+    wr = s + 2 * margin
+    # round WR up to a lane multiple
+    wr = ((wr + 127) // 128) * 128
+    margin_x = margin
+    b = tiles.shape[0]
+
+    def geom(hw, xcb, ycb):
+        h = hw[:, 0]
+        w = hw[:, 1]
+        ox = jnp.stack([xcb - w[0], xcb + 0 * w[1], xcb - w[2], xcb + 0 * w[3]])
+        oy = jnp.stack([ycb - h[0], ycb - h[1], ycb + 0 * h[2], ycb + 0 * h[3]])
+        return jnp.stack([ox, oy], axis=1)          # (4, 2) [ox, oy]
+
+    def prep(mb, xcb, ycb, hw):
+        minv, tinv = affine_inverse_2x3(mb)
+        p, q, cl, uu = ldu_decompose(minv)
+        # scale-pass sample coords over the working grid
+        grid = jnp.arange(wr, dtype=jnp.float32) - margin_x
+        xs = p * grid + tinv[0]
+        ys = q * grid + tinv[1]
+        offs = geom(hw.astype(jnp.float32), xcb, ycb)
+        return xs, ys, cl, uu, offs
+
+    xs, ys, cl, uu, offs = jax.vmap(prep)(m, xc, yc, tile_hw)
+
+    # pass 1: (B, WR, WR, 3) — canvas-free scale resample
+    h1 = jax.vmap(
+        lambda t4, hw4, o4, x, y: scale_resample_tiles(
+            t4, hw4.astype(jnp.float32), o4, x, y, (2 * s, 2 * s))
+    )(tiles, tile_hw, offs, xs, ys)
+
+    # pass 2 (y-shear): h2[r, s'] = h1[r + cl*(s' - margin), s'] for
+    # r in [0, S) — run as x-shear on the transpose
+    h1p = jnp.transpose(h1, (0, 3, 2, 1))           # (B, 3, WR_s, WR_r)
+    col = jnp.arange(wr, dtype=jnp.float32)
+    shifts_y = cl[:, None] * (col - margin_x) + margin_x  # (B, WR)
+    fn = shear_x if _use_pallas() else shear_x_reference
+    h2t = fn(h1p, shifts_y, s)                      # (B, 3, WR_s, S)
+
+    # pass 3 (x-shear): out[i, j] = h2[i, j + uu*i + margin]
+    h2 = jnp.transpose(h2t, (0, 1, 3, 2))           # (B, 3, S, WR_s)
+    row = jnp.arange(s, dtype=jnp.float32)
+    shifts_x = uu[:, None] * row[None, :] + margin_x      # (B, S)
+    out = fn(h2, shifts_x, s)                       # (B, 3, S, S)
+    return jnp.transpose(out, (0, 2, 3, 1))         # (B, S, S, 3)
+
+
+def mixup_resample(p_tile, p_hw, r, do_flip, x_off, y_off,
+                   out_size: Tuple[int, int]):
+    """Partner-image resample for MixUp (reference geometry): letterbox to
+    the input size, scale the whole canvas by jit factor (total content
+    scale `r`), optional h-flip, zero-pad, crop at (x_off, y_off).
+    Single separable pass (no rotation). Returns (S, S, 3) f32."""
+    oh, ow = out_size
+    jf_h, jf_w = None, None
+    # jittered canvas size: (oh * jf, ow * jf); r = r0 * jf where r0 is
+    # the letterbox scale — recover jf from r and r0
+    r0 = jnp.minimum(oh / p_hw[0], ow / p_hw[1])
+    jf = r / r0
+    hj, wj = oh * jf, ow * jf
+
+    ys = (jnp.arange(oh, dtype=jnp.float32) + y_off) / r
+    xs_canvas = jnp.arange(ow, dtype=jnp.float32) + x_off
+    # un-flip in jittered-canvas coords (image flip reads wj-1-x), then
+    # scale down to tile coords
+    xs = jnp.where(do_flip, ((wj - 1.0) - xs_canvas), xs_canvas) / r
+
+    h1 = scale_resample_tiles(
+        p_tile[None], p_hw[None].astype(jnp.float32),
+        jnp.zeros((1, 2), jnp.float32), xs, ys,
+        (hj, wj), border=PAD, zero_outside_canvas=True)
+    return h1
