@@ -121,16 +121,36 @@ def scale_resample_tiles(tiles, tile_hw, offsets, xs, ys, canvas_hw,
 # passes 2+3: fractional shear via Pallas dynamic lane rotate
 # ---------------------------------------------------------------------------
 
-def _shear_kernel(shift_ref, in_ref, out_ref, *, out_w: int):
-    h = out_ref.shape[2]
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _shear_kernel(shift_ref, in_ref, out_ref, *, out_w: int, win: int,
+                  k_max: int):
+    """Per-row fractional x-shift. The integer shift splits into a
+    128-aligned dynamic slice (Mosaic requires lane slices to be 128-
+    aligned) plus a sub-128 `tpu.dynamic_rotate` — the rotate operates on
+    a power-of-two-wide window (dynamic_rotate silently corrupts data for
+    non-power-of-two lane counts)."""
+    h = out_ref.shape[2]  # rows in this block
+    rot_w = _next_pow2(win)
 
     def body(i, _):
         s = shift_ref[0, i, 0]
-        k = jnp.floor(s).astype(jnp.int32)
+        k = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, k_max)
         f = s - k.astype(jnp.float32)
-        row = in_ref[0, 0, pl.ds(i, 1), :]           # (1, WP)
-        ra = pltpu.roll(row, shift=-k, axis=1)
-        rb = pltpu.roll(row, shift=-(k + 1), axis=1)
+        k_hi = k // 128
+        k_lo = k - k_hi * 128
+        base = pl.multiple_of(k_hi * 128, 128)
+        window = in_ref[0, 0, pl.ds(i, 1), pl.ds(base, win)]   # (1, win)
+        if rot_w != win:
+            window = jnp.concatenate(
+                [window, jnp.zeros((1, rot_w - win), window.dtype)], axis=1)
+        ra = pltpu.roll(window, shift=-k_lo, axis=1)
+        rb = pltpu.roll(window, shift=-(k_lo + 1), axis=1)
         out_ref[0, 0, pl.ds(i, 1), :] = (
             ra[:, :out_w] * (1.0 - f) + rb[:, :out_w] * f)
         return 0
@@ -141,19 +161,33 @@ def _shear_kernel(shift_ref, in_ref, out_ref, *, out_w: int):
 def shear_x(img, shifts, out_w: int):
     """out[b, c, i, j] = img[b, c, i, j + shifts[b, i]] (bilinear in x).
 
-    img: (B, C, H, WP) f32 — WP must be a multiple of 128 and large enough
-    that j + shift stays in [0, WP-1). shifts: (B, H) f32.
+    img: (B, C, H, WP) f32, WP a multiple of 128; shifts (B, H) f32 in
+    [0, WP - out_w - 2]. The input is padded so the kernel's aligned
+    window (out_w + 256 lanes) never reads out of bounds.
     """
     b, c, h, wp = img.shape
-    kernel = partial(_shear_kernel, out_w=out_w)
+    win = ((out_w + 128 + 127) // 128) * 128 + 128   # out_w + [129..256]
+    # the kernel reads [base, base + win) with base = 128*floor(k/128);
+    # pad the input so the largest admissible shift stays in bounds
+    k_max = max(wp - out_w - 2, 0)
+    required = 128 * (k_max // 128) + win
+    if wp < required:
+        img = jnp.pad(img, ((0, 0),) * 3 + ((0, required - wp),))
+        wp = required
+    # block over rows so VMEM holds (rows_blk, wp)+(rows_blk, out_w) with
+    # double buffering — full 1152-row blocks overflow the ~16MB budget
+    rows_blk = 128 if h % 128 == 0 else h
+    kernel = partial(_shear_kernel, out_w=out_w, win=win, k_max=k_max)
     return pl.pallas_call(
         kernel,
-        grid=(b, c),
+        grid=(b, c, h // rows_blk),
         in_specs=[
-            pl.BlockSpec((1, h, 1), lambda bi, ci: (bi, 0, 0)),
-            pl.BlockSpec((1, 1, h, wp), lambda bi, ci: (bi, ci, 0, 0)),
+            pl.BlockSpec((1, rows_blk, 1), lambda bi, ci, hi: (bi, hi, 0)),
+            pl.BlockSpec((1, 1, rows_blk, wp),
+                         lambda bi, ci, hi: (bi, ci, hi, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, h, out_w), lambda bi, ci: (bi, ci, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, rows_blk, out_w),
+                               lambda bi, ci, hi: (bi, ci, hi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, c, h, out_w), jnp.float32),
     )(shifts[..., None], img)
 
