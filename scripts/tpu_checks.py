@@ -50,16 +50,18 @@ def check_pallas_shear():
     from yolox_tpu.ops.pallas_warp import shear_x, shear_x_reference
 
     rng = np.random.default_rng(1)
-    for (b, c, h, wp, out) in [(2, 3, 1152, 1152, 640), (4, 3, 640, 1152, 640),
-                               (1, 1, 8, 256, 128), (1, 1, 16, 2048, 640)]:
-        img = jnp.asarray(rng.uniform(0, 255, (b, c, h, wp)).astype(np.float32))
+    for (b, h, w, out, px) in [(2, 1152, 1152, 640, 3), (4, 640, 1152, 640, 3),
+                               (1, 8, 256, 128, 1), (1, 16, 2048, 640, 1),
+                               (2, 128, 1024, 640, 3)]:
+        img = jnp.asarray(
+            rng.uniform(0, 255, (b, h, w * px)).astype(np.float32))
         shifts = jnp.asarray(
-            rng.uniform(0.0, wp - out - 2, (b, h)).astype(np.float32))
-        a = np.asarray(shear_x(img, shifts, out))
-        ref = np.asarray(shear_x_reference(img, shifts, out))
+            rng.uniform(0.0, w - out - 2, (b, h)).astype(np.float32))
+        a = np.asarray(shear_x(img, shifts, out, px=px))
+        ref = np.asarray(shear_x_reference(img, shifts, out, px=px))
         err = np.abs(a - ref).max()
-        assert err < 1e-2, (b, h, wp, err)
-    print("pallas shear == scan reference (widths 256..2048): OK")
+        assert err < 1e-2, (b, h, w, px, err)
+    print("pallas shear == scan reference (widths 256..2048, px 1/3): OK")
 
 
 def check_fused_serving():

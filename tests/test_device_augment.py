@@ -154,22 +154,25 @@ def test_device_augment_deterministic():
     assert not np.array_equal(np.asarray(a1), np.asarray(a3))
 
 
-def test_shear_reference_matches_numpy():
+@pytest.mark.parametrize("px", [1, 3])
+def test_shear_reference_matches_numpy(px):
     from yolox_tpu.ops.pallas_warp import shear_x_reference
 
     rng = np.random.default_rng(0)
-    b, c, h, wp, out_w = 2, 3, 32, 128, 64
-    img = rng.uniform(0, 255, (b, c, h, wp)).astype(np.float32)
+    b, h, w, out_w = 2, 32, 128, 64
+    img = rng.uniform(0, 255, (b, h, w * px)).astype(np.float32)
     shifts = rng.uniform(1.0, 60.0, (b, h)).astype(np.float32)
     got = np.asarray(shear_x_reference(
-        jnp.asarray(img), jnp.asarray(shifts), out_w))
+        jnp.asarray(img), jnp.asarray(shifts), out_w, px=px))
+    imp = img.reshape(b, h, w, px)
+    gop = got.reshape(b, h, out_w, px)
     for bi in range(b):
         for i in range(h):
             s = shifts[bi, i]
             k, f = int(np.floor(s)), s - np.floor(s)
-            want = img[bi, :, i, k:k + out_w] * (1 - f) \
-                + img[bi, :, i, k + 1:k + 1 + out_w] * f
-            np.testing.assert_allclose(got[bi, :, i], want, rtol=1e-5,
+            want = imp[bi, i, k:k + out_w] * (1 - f) \
+                + imp[bi, i, k + 1:k + 1 + out_w] * f
+            np.testing.assert_allclose(gop[bi, i], want, rtol=1e-5,
                                        atol=1e-3)
 
 
