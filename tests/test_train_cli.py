@@ -56,3 +56,18 @@ def test_train_cli_end_to_end(cfg_module):
     log = os.path.join(out, "tiny_train_cli", "train_log.txt")
     assert os.path.exists(log)
     assert "Training start" in open(log).read()
+
+
+def test_train_cli_with_ram_cache(cfg_module):
+    """--cache ram: the cached dataset is built pre-launch and training
+    runs off the RAM cache (reference `cli/train.py:128` behavior)."""
+    from yolox_tpu.cli import train as train_cli
+
+    name, tmp_path = cfg_module
+    out = str(tmp_path / "out_cache")
+    rc = train_cli.main([
+        "-c", name, "-b", "4", "--cache", "ram",
+        "-D", f"output_dir={out}",
+    ])
+    assert rc == 0
+    assert glob.glob(os.path.join(out, "tiny_train_cli", "*_ckpt.pth"))

@@ -95,6 +95,12 @@ def main(argv=None) -> int:
     if args.name is None:
         args.name = config.name
 
+    if getattr(args, "cache", None) is not None:
+        # build the cached dataset up front (reference `cli/train.py:128`:
+        # must exist before worker processes fork so they share the cache)
+        config.dataset = config.get_dataset(cache=True,
+                                            cache_type=args.cache)
+
     train(config, args)
     return 0
 
