@@ -316,20 +316,15 @@ def hsv_jitter(img, key, hgain=5.0, sgain=30.0, vgain=30.0):
     s = jnp.clip(s + jnp.round(gains[1]), 0, 255)
     v = jnp.clip(v + jnp.round(gains[2]), 0, 255)
 
-    hf = h / 30.0
-    i = jnp.floor(hf)
-    f = hf - i
-    p = v * (1 - s / 255.0)
-    q = v * (1 - s / 255.0 * f)
-    t = v * (1 - s / 255.0 * (1 - f))
-    i = i.astype(jnp.int32) % 6
-    r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                    [v, q, p, p, t, v])
-    g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                    [t, v, v, q, p, p])
-    b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                    [p, p, t, v, v, q])
-    return jnp.stack([r2, g2, b2], axis=-1)
+    # branch-free HSV->RGB: f(n) = v - v*(s/255)*clip(min(k, 4-k), 0, 1),
+    # k = (n + h/30) mod 6 — equal to the sextant select chain, VPU-only
+    sv = v * (s / 255.0)
+
+    def chan(n):
+        k = jnp.mod(n + h / 30.0, 6.0)
+        return v - sv * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1)
 
 
 def _pack_labels(boxes_cls, keep, max_labels: int):
