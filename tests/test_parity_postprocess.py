@@ -226,3 +226,32 @@ def test_serve_accepts_uint8():
                           jnp.asarray(xu8, jnp.float32), conf_thre=1e-5)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_yolox_call_fused_equals_manual_pipeline():
+    """Yolox.__call__ (fused serve path) must equal the manual
+    module -> processor.postprocess pipeline in f32."""
+    from PIL import Image
+
+    from yolox_tpu import Yolox, YoloxConfig, YoloxModule, YoloxProcessor
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    module = YoloxModule.from_config(cfg)
+    processor = YoloxProcessor(cfg)
+    model = Yolox(module, processor)
+
+    rng = np.random.default_rng(8)
+    imgs = [Image.fromarray(rng.integers(0, 255, (240, 320, 3),
+                                         dtype=np.uint8)) for _ in range(2)]
+    got = model(imgs, threshold=1e-5)
+
+    batch = processor(imgs)
+    output = module(batch)
+    want = processor.postprocess(imgs, output, threshold=1e-5)
+
+    for g, w in zip(got, want):
+        assert g["labels"] == w["labels"]
+        np.testing.assert_allclose(g["scores"], w["scores"], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g["bboxes"]),
+                                   np.asarray(w["bboxes"]), rtol=1e-5,
+                                   atol=1e-4)

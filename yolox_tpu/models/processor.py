@@ -62,9 +62,13 @@ class YoloxProcessor:
             nms_thre=self.config.nmsthre,
             class_agnostic=False,
         )
-        dets = np.asarray(dets)
-        valid = np.asarray(valid)
+        return self.postprocess_dets(images, np.asarray(dets),
+                                     np.asarray(valid))
 
+    def postprocess_dets(self, images: Iterable, dets: np.ndarray,
+                         valid: np.ndarray) -> List[Detections]:
+        """Rescale fixed-shape device detections (from `postprocess_device`
+        or the fused `YoloxModule.serve`) into Detections dicts."""
         results: List[Detections] = []
         for i, image in enumerate(images):
             if hasattr(image, "height"):
