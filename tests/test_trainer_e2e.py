@@ -232,3 +232,37 @@ def test_training_with_device_augment(tiny_cfg):
     # epoch 2 is the no-aug phase: device augmentation must be off
     assert trainer._device_augment is False
     assert trainer.use_l1 is True
+
+
+def test_multiscale_resize_scales_images_and_targets(tiny_cfg):
+    """On-device multiscale: batch resized to the drawn bucket size and
+    (cls, cx, cy, w, h) targets scaled with it (reference
+    `config.py:296-305`)."""
+    trainer = tiny_cfg.get_trainer(_args(tiny_cfg.output_dir))
+    trainer.before_train()
+    trainer._current_size = (32, 32)  # half of the 64px input
+    x = np.zeros((2, 64, 64, 3), np.float32)
+    x[:, :32, :32] = 200.0
+    t = np.zeros((2, 120, 5), np.float32)
+    t[:, 0] = [1, 32, 16, 20, 10]   # cls, cx, cy, w, h in 64px space
+    xr, tr = trainer._multiscale_resize(x, t)
+    xr, tr = np.asarray(xr), np.asarray(tr)
+    assert xr.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(
+        tr[:, 0], np.tile([1, 16, 8, 10, 5], (2, 1)), rtol=1e-5)
+    # content scaled into the top-left quadrant
+    assert xr[0, 8, 8].mean() > 150 and xr[0, 24, 24].mean() < 50
+    trainer.after_train()
+
+
+def test_multiscale_bucket_set(tiny_cfg):
+    """random_resize draws only 32-aligned sizes within +-range buckets."""
+    cfg = tiny_cfg
+    cfg.input_size = (640, 640)
+    cfg.multiscale_range = 5
+    cfg.random_size = None
+    rng = np.random.default_rng(0)
+    sizes = {cfg.random_resize(rng) for _ in range(200)}
+    assert all(h % 32 == 0 and w % 32 == 0 for h, w in sizes)
+    assert min(h for h, _ in sizes) == 480 and max(h for h, _ in sizes) == 800
+    assert len(sizes) == 11
