@@ -230,6 +230,12 @@ def mosaic_affine_warp(tiles, tile_hw, m, xc, yc, out_size: Tuple[int, int],
     tiles (B, 4, T, T, 3) uint8; tile_hw (B, 4, 2); m (B, 2, 3) affine
     (canvas -> output, cv2 convention); xc/yc (B,) mosaic centers.
     Returns (B, S, S, 3) f32. out_size must be square (S, S).
+
+    Supported transform range: |shear slope| of the decomposed passes
+    must satisfy |slope| * (S + margin) <= margin, i.e. rotation+shear up
+    to ~15 deg at the default margin — covering the augmentation ranges
+    (degrees<=10, shear<=2). Beyond that, shifts clamp at the working-
+    grid edge and the output distorts near borders.
     """
     s = out_size[0]
     assert out_size[0] == out_size[1], "mosaic output is square"
@@ -289,7 +295,6 @@ def mixup_resample(p_tile, p_hw, r, do_flip, x_off, y_off,
     scale `r`), optional h-flip, zero-pad, crop at (x_off, y_off).
     Single separable pass (no rotation). Returns (S, S, 3) f32."""
     oh, ow = out_size
-    jf_h, jf_w = None, None
     # jittered canvas size: (oh * jf, ow * jf); r = r0 * jf where r0 is
     # the letterbox scale — recover jf from r and r0
     r0 = jnp.minimum(oh / p_hw[0], ow / p_hw[1])
