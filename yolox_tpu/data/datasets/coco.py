@@ -23,50 +23,66 @@ from yolox_tpu.data.datasets.datasets_wrapper import (
     cache_read_img,
 )
 
+_DROP_TOP = ("info", "licenses")
+_DROP_IMG = ("license", "coco_url", "date_captured", "flickr_url")
+
 
 def remove_useless_info(coco: COCO):
     """Strip segmentation/license info to save memory (`coco.py:13-29`)."""
-    dataset = coco.dataset
-    dataset.pop("info", None)
-    dataset.pop("licenses", None)
-    for img in dataset.get("images", []):
-        img.pop("license", None)
-        img.pop("coco_url", None)
-        img.pop("date_captured", None)
-        img.pop("flickr_url", None)
-    for anno in dataset.get("annotations", []):
+    data = coco.dataset
+    for key in _DROP_TOP:
+        data.pop(key, None)
+    for img in data.get("images", []):
+        for key in _DROP_IMG:
+            img.pop(key, None)
+    for anno in data.get("annotations", []):
         anno.pop("segmentation", None)
+
+
+def _clean_boxes(annos, width, height, class_index):
+    """(N, 5) xyxy+cls rows from raw COCO annotations: clip to the image,
+    drop degenerate/zero-area boxes, map category id -> class index."""
+    rows = []
+    for a in annos:
+        bx, by, bw, bh = a["bbox"]
+        x1 = max(0.0, bx)
+        y1 = max(0.0, by)
+        x2 = min(float(width), x1 + max(0.0, bw))
+        y2 = min(float(height), y1 + max(0.0, bh))
+        if a["area"] > 0 and x2 >= x1 and y2 >= y1:
+            rows.append((x1, y1, x2, y2, class_index[a["category_id"]]))
+    return np.asarray(rows, np.float64).reshape(len(rows), 5)
 
 
 class CocoDataset(CacheDataset):
     def __init__(self, data_dir=None, json_file="instances_train2017.json",
                  name="train2017", img_size=(416, 416), preproc=None,
                  cache=False, cache_type="ram"):
-        if data_dir is None:
-            data_dir = os.path.join(get_yolox_datadir(), "COCO")
-        self.data_dir = data_dir
+        self.data_dir = data_dir if data_dir is not None else os.path.join(
+            get_yolox_datadir(), "COCO")
         self.json_file = json_file
+        self.name = name
+        self.img_size = img_size
+        self.preproc = preproc
 
-        self.coco = COCO(os.path.join(data_dir, "annotations", json_file))
+        self.coco = COCO(os.path.join(
+            self.data_dir, "annotations", json_file))
         remove_useless_info(self.coco)
         self.ids = self.coco.getImgIds()
         self.num_imgs = len(self.ids)
         self.class_ids = sorted(self.coco.getCatIds())
         self.cats = self.coco.loadCats(self.coco.getCatIds())
         self._classes = tuple(c["name"] for c in self.cats)
-        self.name = name
-        self.img_size = img_size
-        self.preproc = preproc
+        self._cls_index = {cid: i for i, cid in enumerate(self.class_ids)}
         self.annotations = [self.load_anno_from_ids(i) for i in self.ids]
 
-        path_filename = [os.path.join(name, anno[3])
-                         for anno in self.annotations]
         super().__init__(
             input_dimension=img_size,
             num_imgs=self.num_imgs,
-            data_dir=data_dir,
+            data_dir=self.data_dir,
             cache_dir_name=f"cache_{name}",
-            path_filename=path_filename,
+            path_filename=[os.path.join(name, entry[3])
+                           for entry in self.annotations],
             cache=cache,
             cache_type=cache_type,
         )
@@ -75,61 +91,46 @@ class CocoDataset(CacheDataset):
         return self.num_imgs
 
     def load_anno_from_ids(self, id_):
-        im_ann = self.coco.loadImgs(id_)[0]
-        width = im_ann["width"]
-        height = im_ann["height"]
-        anno_ids = self.coco.getAnnIds(imgIds=[int(id_)], iscrowd=False)
-        annotations = self.coco.loadAnns(anno_ids)
-        objs = []
-        for obj in annotations:
-            x1 = np.max((0, obj["bbox"][0]))
-            y1 = np.max((0, obj["bbox"][1]))
-            x2 = np.min((width, x1 + np.max((0, obj["bbox"][2]))))
-            y2 = np.min((height, y1 + np.max((0, obj["bbox"][3]))))
-            if obj["area"] > 0 and x2 >= x1 and y2 >= y1:
-                obj["clean_bbox"] = [x1, y1, x2, y2]
-                objs.append(obj)
-
-        res = np.zeros((len(objs), 5))
-        for ix, obj in enumerate(objs):
-            cls = self.class_ids.index(obj["category_id"])
-            res[ix, 0:4] = obj["clean_bbox"]
-            res[ix, 4] = cls
+        """(labels, (h, w), (resized h, w), file_name) for one image id;
+        labels are pre-scaled by the letterbox ratio (`coco.py:110-139`)."""
+        meta = self.coco.loadImgs(id_)[0]
+        height, width = meta["height"], meta["width"]
+        annos = self.coco.loadAnns(
+            self.coco.getAnnIds(imgIds=[int(id_)], iscrowd=False))
+        labels = _clean_boxes(annos, width, height, self._cls_index)
 
         r = min(self.img_size[0] / height, self.img_size[1] / width)
-        res[:, :4] *= r
-        img_info = (height, width)
-        resized_info = (int(height * r), int(width * r))
-        file_name = im_ann.get("file_name", "{:012}".format(id_) + ".jpg")
-        return (res, img_info, resized_info, file_name)
+        labels[:, :4] *= r
+        file_name = meta.get("file_name", f"{id_:012}.jpg")
+        return (labels, (height, width),
+                (int(height * r), int(width * r)), file_name)
 
     def load_anno(self, index):
         return self.annotations[index][0]
+
+    def load_image(self, index):
+        path = os.path.join(self.data_dir, self.name,
+                            self.annotations[index][3])
+        img = cv2.imread(path)
+        assert img is not None, f"file named {path} not found"
+        return img
 
     def load_resized_img(self, index):
         img = self.load_image(index)
         r = min(self.img_size[0] / img.shape[0],
                 self.img_size[1] / img.shape[1])
-        return cv2.resize(
-            img, (int(img.shape[1] * r), int(img.shape[0] * r)),
-            interpolation=cv2.INTER_LINEAR).astype(np.uint8)
-
-    def load_image(self, index):
-        file_name = self.annotations[index][3]
-        img_file = os.path.join(self.data_dir, self.name, file_name)
-        img = cv2.imread(img_file)
-        assert img is not None, f"file named {img_file} not found"
-        return img
+        size = (int(img.shape[1] * r), int(img.shape[0] * r))
+        return cv2.resize(img, size,
+                          interpolation=cv2.INTER_LINEAR).astype(np.uint8)
 
     @cache_read_img(use_cache=True)
     def read_img(self, index):
         return self.load_resized_img(index)
 
     def pull_item(self, index):
-        id_ = self.ids[index]
-        label, origin_image_size, _, _ = self.annotations[index]
-        img = self.read_img(index)
-        return img, copy.deepcopy(label), origin_image_size, np.array([id_])
+        labels, origin_size, _, _ = self.annotations[index]
+        return (self.read_img(index), copy.deepcopy(labels), origin_size,
+                np.array([self.ids[index]]))
 
     @CacheDataset.mosaic_getitem
     def __getitem__(self, index):

@@ -1,7 +1,8 @@
 """Meters — re-design of `/root/reference/yolox/utils/metric.py`.
 
 Windowed AverageMeter + MeterBuffer used by the trainer's logging, plus
-host/device memory gauges.
+host/device memory gauges. The meter keeps a plain-float ring window
+(no numpy churn per update) with running totals for the global average.
 """
 
 from __future__ import annotations
@@ -9,8 +10,6 @@ from __future__ import annotations
 import functools
 import time
 from collections import defaultdict, deque
-
-import numpy as np
 
 __all__ = [
     "AverageMeter",
@@ -25,70 +24,79 @@ class AverageMeter:
     """Track a series of values; report windowed median/avg + global avg."""
 
     def __init__(self, window_size=50):
-        self._deque = deque(maxlen=window_size)
-        self._total = 0.0
-        self._count = 0
+        self._window = deque(maxlen=window_size)
+        self._sum_all = 0.0
+        self._n_all = 0
 
     def update(self, value):
-        self._deque.append(value)
-        self._count += 1
-        self._total += value
+        value = float(value)
+        self._window.append(value)
+        self._sum_all += value
+        self._n_all += 1
 
-    @property
-    def median(self):
-        return np.median(np.array(list(self._deque))) if self._deque else 0.0
+    def reset(self):
+        self._window.clear()
+        self._sum_all = 0.0
+        self._n_all = 0
 
-    @property
-    def avg(self):
-        return np.mean(np.array(list(self._deque))) if self._deque else 0.0
-
-    @property
-    def global_avg(self):
-        return self._total / max(self._count, 1e-5)
+    def clear(self):
+        self._window.clear()
 
     @property
     def latest(self):
-        return self._deque[-1] if self._deque else None
+        return self._window[-1] if self._window else None
+
+    @property
+    def avg(self):
+        if not self._window:
+            return 0.0
+        return sum(self._window) / len(self._window)
+
+    @property
+    def median(self):
+        if not self._window:
+            return 0.0
+        vals = sorted(self._window)
+        mid = len(vals) // 2
+        if len(vals) % 2:
+            return vals[mid]
+        return 0.5 * (vals[mid - 1] + vals[mid])
+
+    @property
+    def global_avg(self):
+        return self._sum_all / max(self._n_all, 1e-5)
 
     @property
     def total(self):
-        return self._total
-
-    def reset(self):
-        self._deque.clear()
-        self._total = 0.0
-        self._count = 0
-
-    def clear(self):
-        self._deque.clear()
+        return self._sum_all
 
 
 class MeterBuffer(defaultdict):
-    """defaultdict of AverageMeters."""
+    """Name -> AverageMeter map with bulk update/reset helpers."""
 
     def __init__(self, window_size=20):
-        super().__init__(functools.partial(AverageMeter,
-                                           window_size=window_size))
-
-    def reset(self):
-        for v in self.values():
-            v.reset()
-
-    def get_filtered_meter(self, filter_key="time"):
-        return {k: v for k, v in self.items() if filter_key in k}
+        super().__init__(
+            functools.partial(AverageMeter, window_size=window_size))
 
     def update(self, values=None, **kwargs):
-        if values is None:
-            values = {}
-        values.update(kwargs)
-        for k, v in values.items():
-            if hasattr(v, "item"):
-                v = float(np.asarray(v))
-            self[k].update(v)
+        merged = dict(values or {})
+        merged.update(kwargs)
+        for name, value in merged.items():
+            if hasattr(value, "item"):   # device scalar / 0-d array
+                value = value.item()
+            self[name].update(value)
+
+    def get_filtered_meter(self, filter_key="time"):
+        return {name: meter for name, meter in self.items()
+                if filter_key in name}
+
+    def reset(self):
+        for meter in self.values():
+            meter.reset()
 
     def clear_meters(self):
-        for v in self.values():
-            v.clear()
+        for meter in self.values():
+            meter.clear()
 
 
 def get_total_and_free_memory_mb():
