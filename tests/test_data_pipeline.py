@@ -112,3 +112,58 @@ def test_infinite_sampler_rank_sharding():
     assert merged == single
     # per-epoch permutation covers the dataset exactly once
     assert sorted(single[:32]) == list(range(32))
+
+
+def test_concat_dataset_routing():
+    from yolox_tpu.data.datasets.datasets_wrapper import (
+        ConcatDataset, Dataset, MixConcatDataset)
+
+    class Fake(Dataset):
+        def __init__(self, tag, n):
+            super().__init__((32, 32))
+            self.tag, self.n = tag, n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, idx):
+            return (self.tag, idx)
+
+        def pull_item(self, idx):
+            return (self.tag, idx)
+
+    ds = ConcatDataset([Fake("a", 3), Fake("b", 2)])
+    assert len(ds) == 5
+    assert ds[0] == ("a", 0) and ds[2] == ("a", 2)
+    assert ds[3] == ("b", 0) and ds[4] == ("b", 1)
+    assert ds[-1] == ("b", 1)            # negative indexing
+    assert ds.pull_item(4) == ("b", 1)
+
+    mix = MixConcatDataset([Fake("a", 3), Fake("b", 2)])
+    # mix accepts (flag, idx, ...) tuples, remapping the middle element
+    # and forwarding the tuple (the child's mosaic_getitem strips it)
+    assert mix[(True, 4, 0)] == ("b", (True, 1, 0))
+
+
+def test_model_info_and_fuse():
+    import jax.numpy as jnp
+
+    from yolox_tpu import YoloxConfig, YoloxModule
+    from yolox_tpu.utils.model_utils import (
+        adjust_status, fuse_model_params, get_model_info)
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    module = YoloxModule.from_config(cfg)
+    info = get_model_info(module, (416, 416))
+    assert "0.91" in info and "Gflops" in info  # published nano params
+
+    # fused params produce identical eval outputs
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 255, (1, 128, 128, 3)), jnp.float32)
+    want = np.asarray(module(x))
+    fused = fuse_model_params(module.params)
+    got = np.asarray(module(x, params=fused))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    with adjust_status(module, training=False) as m:
+        assert m is module

@@ -21,11 +21,13 @@ from yolox_tpu.models.weights import flat_to_nested, nested_to_flat
 
 
 def count_params(params) -> int:
-    import jax
-
+    """Trainable parameter count (excludes BN running stats/counters,
+    matching torch's `sum(p.numel() for p in model.parameters())`)."""
+    flat = nested_to_flat(params)
+    skip = ("running_mean", "running_var", "num_batches_tracked")
     return int(sum(
-        np.prod(np.shape(p)) for p in jax.tree.leaves(params)
-        if np.ndim(p) > 0
+        np.prod(np.shape(p)) for k, p in flat.items()
+        if np.ndim(p) > 0 and not k.endswith(skip)
     ))
 
 
