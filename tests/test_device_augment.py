@@ -41,9 +41,17 @@ def test_warp_affine_matches_cv2():
 
 
 def test_mosaic_geometry_matches_reference_formula():
-    """_mosaic_geometry == get_mosaic_coordinate for random sizes."""
-    from yolox_tpu.data.datasets.mosaicdetection import get_mosaic_coordinate
+    """Host mosaic_geometry and device _mosaic_geometry both reproduce the
+    reference's get_mosaic_coordinate on random sizes (parity oracle)."""
+    from tests._reference_oracle import load_reference, reference_available
+
+    from yolox_tpu.data.datasets.mosaicdetection import mosaic_geometry
     from yolox_tpu.data.device_augment import _mosaic_geometry
+
+    if not reference_available():
+        pytest.skip("/root/reference not present")
+    load_reference()
+    from yolox.data.datasets.mosaicdetection import get_mosaic_coordinate
 
     rng = np.random.default_rng(1)
     s = 64
@@ -51,15 +59,22 @@ def test_mosaic_geometry_matches_reference_formula():
         hw = rng.integers(16, 65, (4, 2)).astype(np.float32)
         xc = int(rng.integers(32, 97))
         yc = int(rng.integers(32, 97))
-        paste, offset = _mosaic_geometry(
+        paste_d, offset_d = _mosaic_geometry(
             jnp.asarray(hw), float(xc), float(yc), float(s), float(s))
+        paste_h, shift_h = mosaic_geometry(hw, xc, yc, s, s)
         for i in range(4):
             (x1, y1, x2, y2), (sx1, sy1, _, _) = get_mosaic_coordinate(
-                i, xc, yc, int(hw[i, 1]), int(hw[i, 0]), s, s)
+                None, i, xc, yc, int(hw[i, 1]), int(hw[i, 0]), s, s)
+            want_paste = [x1, y1, x2, y2]
+            want_shift = [x1 - sx1, y1 - sy1]
             np.testing.assert_allclose(
-                np.asarray(paste[i]), [x1, y1, x2, y2], err_msg=str(i))
+                np.asarray(paste_d[i]), want_paste, err_msg=f"device {i}")
             np.testing.assert_allclose(
-                np.asarray(offset[i]), [x1 - sx1, y1 - sy1])
+                np.asarray(offset_d[i]), want_shift, err_msg=f"device {i}")
+            np.testing.assert_array_equal(
+                paste_h[i], want_paste, err_msg=f"host {i}")
+            np.testing.assert_array_equal(
+                shift_h[i], want_shift, err_msg=f"host {i}")
 
 
 def test_mosaic_identity_affine_places_tiles():

@@ -1,11 +1,18 @@
-"""Mosaic + MixUp augmentation wrapper — re-design of
-`/root/reference/yolox/data/datasets/mosaicdetection.py`.
+"""Mosaic + MixUp augmentation wrapper.
 
-Same pipeline: 2x-canvas 4-image mosaic with a random center, random affine
+Behavioral counterpart of the reference pipeline
+(`/root/reference/yolox/data/datasets/mosaicdetection.py`): 2x-canvas
+4-image mosaic with a random center, random affine
 (rotation/scale/shear/translate), optional MixUp/CopyPaste with a random
-partner image, then the final TrainTransform. Randomness flows from the
-per-sample Generator installed by `mosaic_getitem` (deterministic under any
-worker count).
+partner image, then the final TrainTransform.
+
+The implementation is vectorized over the four mosaic tiles — the paste
+geometry for all quadrants comes from one branch-free formula
+(`mosaic_geometry`, the numpy twin of the on-device
+`device_augment._mosaic_geometry`) and the label transform is a single
+gather/scale/shift over the concatenated boxes, not per-tile coordinate
+bookkeeping. Randomness flows from the per-sample Generator installed by
+`mosaic_getitem` (deterministic under any worker count).
 """
 
 from __future__ import annotations
@@ -16,24 +23,44 @@ import numpy as np
 from yolox_tpu.data.data_augment import adjust_box_anns, random_affine
 from yolox_tpu.data.datasets.datasets_wrapper import Dataset
 
+_PAD = 114  # canvas fill, matching the canonical letterbox
 
-def get_mosaic_coordinate(mosaic_index, xc, yc, w, h, input_h, input_w):
-    """Paste rectangle in the 2x canvas + crop rectangle in the source
-    (`mosaicdetection.py:14-32`)."""
-    if mosaic_index == 0:  # top left
-        x1, y1, x2, y2 = max(xc - w, 0), max(yc - h, 0), xc, yc
-        small_coord = w - (x2 - x1), h - (y2 - y1), w, h
-    elif mosaic_index == 1:  # top right
-        x1, y1, x2, y2 = xc, max(yc - h, 0), min(xc + w, input_w * 2), yc
-        small_coord = 0, h - (y2 - y1), min(w, x2 - x1), h
-    elif mosaic_index == 2:  # bottom left
-        x1, y1, x2, y2 = max(xc - w, 0), yc, xc, min(input_h * 2, yc + h)
-        small_coord = w - (x2 - x1), 0, w, min(y2 - y1, h)
-    else:  # bottom right
-        x1, y1, x2, y2 = (xc, yc, min(xc + w, input_w * 2),
-                          min(input_h * 2, yc + h))
-        small_coord = 0, 0, min(w, x2 - x1), min(y2 - y1, h)
-    return (x1, y1, x2, y2), small_coord
+
+def mosaic_geometry(tile_hw, xc, yc, out_h, out_w):
+    """Paste rectangles for the 4 quadrant tiles of a 2x mosaic canvas.
+
+    Each tile is anchored at the mosaic center (xc, yc) by the corner that
+    touches it — tile 0 grows up-left, 1 up-right, 2 down-left, 3
+    down-right — and is cropped to its quadrant and to the canvas bounds.
+
+    tile_hw: (4, 2) int/float (h, w) of the pre-resized tiles.
+    Returns `paste` (4, 4) int64 [x1, y1, x2, y2] in canvas coordinates and
+    `shift` (4, 2) int64 [ox, oy] such that canvas[y, x] = tile[y-oy, x-ox];
+    equivalently, tile-space boxes map to the canvas by adding (ox, oy).
+    Same quadrant semantics as the reference's `get_mosaic_coordinate`
+    (mosaicdetection.py:14-32), derived from the anchoring invariant
+    instead of per-quadrant branches.
+    """
+    h = np.asarray(tile_hw[:, 0], np.int64)
+    w = np.asarray(tile_hw[:, 1], np.int64)
+    grows_right = np.array([False, True, False, True])
+    grows_down = np.array([False, False, True, True])
+
+    # content origin: right/down tiles put tile (0,0) at the center; the
+    # others put their far corner there, so the origin sits at center-size
+    ox = np.where(grows_right, xc, xc - w)
+    oy = np.where(grows_down, yc, yc - h)
+    # visible span: from origin (floored at the canvas edge) to the center
+    # on the anchored side, to origin+size (capped at the canvas edge) on
+    # the growing side
+    x1 = np.maximum(ox, 0)
+    y1 = np.maximum(oy, 0)
+    x2 = np.minimum(ox + w, 2 * out_w) * grows_right + xc * ~grows_right
+    y2 = np.minimum(oy + h, 2 * out_h) * grows_down + yc * ~grows_down
+
+    paste = np.stack([x1, y1, x2, y2], axis=1)
+    shift = np.stack([ox, oy], axis=1)
+    return paste, shift
 
 
 class MosaicDetection(Dataset):
@@ -60,141 +87,118 @@ class MosaicDetection(Dataset):
     @Dataset.mosaic_getitem
     def __getitem__(self, idx):
         rng = self.rng
-        if self.enable_mosaic and rng.random() < self.mosaic_prob:
-            mosaic_labels = []
-            input_h, input_w = self.input_dim[0], self.input_dim[1]
-
-            yc = int(rng.uniform(0.5 * input_h, 1.5 * input_h))
-            xc = int(rng.uniform(0.5 * input_w, 1.5 * input_w))
-            indices = [idx] + [
-                int(rng.integers(0, len(self._dataset))) for _ in range(3)]
-
-            mosaic_img = None
-            img_id = None
-            for i_mosaic, index in enumerate(indices):
-                img, _labels, _, img_id = self._dataset.pull_item(index)
-                h0, w0 = img.shape[:2]
-                scale = min(1.0 * input_h / h0, 1.0 * input_w / w0)
-                img = cv2.resize(
-                    img, (int(w0 * scale), int(h0 * scale)),
-                    interpolation=cv2.INTER_LINEAR)
-                (h, w, c) = img.shape[:3]
-                if i_mosaic == 0:
-                    mosaic_img = np.full(
-                        (input_h * 2, input_w * 2, c), 114, dtype=np.uint8)
-
-                (l_x1, l_y1, l_x2, l_y2), (s_x1, s_y1, s_x2, s_y2) = \
-                    get_mosaic_coordinate(
-                        i_mosaic, xc, yc, w, h, input_h, input_w)
-                mosaic_img[l_y1:l_y2, l_x1:l_x2] = img[s_y1:s_y2, s_x1:s_x2]
-                padw, padh = l_x1 - s_x1, l_y1 - s_y1
-
-                labels = _labels.copy()
-                if _labels.size > 0:
-                    labels[:, 0] = scale * _labels[:, 0] + padw
-                    labels[:, 1] = scale * _labels[:, 1] + padh
-                    labels[:, 2] = scale * _labels[:, 2] + padw
-                    labels[:, 3] = scale * _labels[:, 3] + padh
-                mosaic_labels.append(labels)
-
-            if len(mosaic_labels):
-                mosaic_labels = np.concatenate(mosaic_labels, 0)
-                np.clip(mosaic_labels[:, 0], 0, 2 * input_w,
-                        out=mosaic_labels[:, 0])
-                np.clip(mosaic_labels[:, 1], 0, 2 * input_h,
-                        out=mosaic_labels[:, 1])
-                np.clip(mosaic_labels[:, 2], 0, 2 * input_w,
-                        out=mosaic_labels[:, 2])
-                np.clip(mosaic_labels[:, 3], 0, 2 * input_h,
-                        out=mosaic_labels[:, 3])
-
-            mosaic_img, mosaic_labels = random_affine(
-                mosaic_img, mosaic_labels, rng=rng,
-                target_size=(input_w, input_h),
-                degrees=self.degrees, translate=self.translate,
-                scales=self.scale, shear=self.shear)
-
-            if (self.enable_mixup and not len(mosaic_labels) == 0
-                    and rng.random() < self.mixup_prob):
-                mosaic_img, mosaic_labels = self.mixup(
-                    mosaic_img, mosaic_labels, self.input_dim, rng)
-            mix_img, padded_labels = self.preproc(
-                mosaic_img, mosaic_labels, self.input_dim, rng=rng)
-            img_info = (mix_img.shape[1], mix_img.shape[0])
-            return mix_img, padded_labels, img_info, img_id
-
-        else:
+        if not (self.enable_mosaic and rng.random() < self.mosaic_prob):
             self._dataset._input_dim = self.input_dim
             img, label, img_info, img_id = self._dataset.pull_item(idx)
             img, label = self.preproc(img, label, self.input_dim, rng=rng)
             return img, label, img_info, img_id
 
-    def mixup(self, origin_img, origin_labels, input_dim, rng):
-        """CopyPaste-style MixUp (`mosaicdetection.py:160-232`)."""
-        jit_factor = rng.uniform(*self.mixup_scale)
+        out_h, out_w = self.input_dim[0], self.input_dim[1]
+        canvas, boxes, img_id = self._assemble_mosaic(
+            idx, rng, out_h, out_w)
+
+        canvas, boxes = random_affine(
+            canvas, boxes, rng=rng, target_size=(out_w, out_h),
+            degrees=self.degrees, translate=self.translate,
+            scales=self.scale, shear=self.shear)
+
+        if (self.enable_mixup and len(boxes) > 0
+                and rng.random() < self.mixup_prob):
+            canvas, boxes = self.mixup(canvas, boxes, self.input_dim, rng)
+        img, padded_labels = self.preproc(
+            canvas, boxes, self.input_dim, rng=rng)
+        return img, padded_labels, (img.shape[1], img.shape[0]), img_id
+
+    def _assemble_mosaic(self, idx, rng, out_h, out_w):
+        """Paste 4 letterbox-scaled images around a random center on a
+        (2H, 2W) canvas; return the canvas, the canvas-space boxes, and
+        the primary image id."""
+        yc = int(rng.uniform(0.5 * out_h, 1.5 * out_h))
+        xc = int(rng.uniform(0.5 * out_w, 1.5 * out_w))
+        picks = [idx] + [int(i) for i in
+                         rng.integers(0, len(self._dataset), 3)]
+
+        tiles, anns, ratios, img_id = [], [], [], None
+        for t, index in enumerate(picks):
+            img, labels, _, iid = self._dataset.pull_item(index)
+            if t == 0:
+                img_id = iid
+            r = min(out_h / img.shape[0], out_w / img.shape[1])
+            tiles.append(cv2.resize(
+                img, (int(img.shape[1] * r), int(img.shape[0] * r)),
+                interpolation=cv2.INTER_LINEAR))
+            anns.append(np.asarray(labels, np.float64).reshape(-1, 5))
+            ratios.append(r)
+
+        tile_hw = np.array([t.shape[:2] for t in tiles])
+        paste, shift = mosaic_geometry(tile_hw, xc, yc, out_h, out_w)
+
+        canvas = np.full((2 * out_h, 2 * out_w, tiles[0].shape[2]),
+                         _PAD, dtype=np.uint8)
+        for t in range(4):
+            x1, y1, x2, y2 = paste[t]
+            ox, oy = shift[t]
+            canvas[y1:y2, x1:x2] = tiles[t][y1 - oy:y2 - oy, x1 - ox:x2 - ox]
+
+        # one vectorized label transform over all tiles: scale to tile
+        # space, shift into the canvas, clip to the canvas bounds
+        boxes = np.concatenate(anns, axis=0)
+        owner = np.repeat(np.arange(4), [len(a) for a in anns])
+        scale = np.asarray(ratios)[owner, None]
+        boxes[:, :4] = boxes[:, :4] * scale + np.tile(shift[owner], 2)
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, 2 * out_w)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, 2 * out_h)
+        return canvas, boxes, img_id
+
+    def mixup(self, img, labels, input_dim, rng):
+        """CopyPaste-style MixUp: letterbox a random annotated partner to
+        `input_dim`, jitter-rescale, optionally flip, crop a window the
+        size of `img` at a random position, and 50/50 blend. Behavioral
+        counterpart of the reference mixup (mosaicdetection.py:160-232)."""
+        th, tw = img.shape[:2]
+        jit = rng.uniform(*self.mixup_scale)
         flip = rng.uniform(0, 1) > 0.5
-        cp_labels = []
-        while len(cp_labels) == 0:
-            cp_index = int(rng.integers(0, len(self)))
-            cp_labels = self._dataset.load_anno(cp_index)
-        img, cp_labels, _, _ = self._dataset.pull_item(cp_index)
 
-        if len(img.shape) == 3:
-            cp_img = np.ones(
-                (input_dim[0], input_dim[1], 3), dtype=np.uint8) * 114
-        else:
-            cp_img = np.ones(input_dim, dtype=np.uint8) * 114
+        while True:
+            k = int(rng.integers(0, len(self)))
+            if len(self._dataset.load_anno(k)):
+                break
+        partner, panns, _, _ = self._dataset.pull_item(k)
 
-        cp_scale_ratio = min(input_dim[0] / img.shape[0],
-                             input_dim[1] / img.shape[1])
-        resized_img = cv2.resize(
-            img,
-            (int(img.shape[1] * cp_scale_ratio),
-             int(img.shape[0] * cp_scale_ratio)),
-            interpolation=cv2.INTER_LINEAR)
-        cp_img[: int(img.shape[0] * cp_scale_ratio),
-               : int(img.shape[1] * cp_scale_ratio)] = resized_img
-
-        cp_img = cv2.resize(
-            cp_img,
-            (int(cp_img.shape[1] * jit_factor),
-             int(cp_img.shape[0] * jit_factor)))
-        cp_scale_ratio *= jit_factor
+        # letterbox (pad 114 top-left) then rescale the whole canvas by the
+        # jitter factor; r maps partner-space boxes to the jittered canvas
+        boxed = np.full((input_dim[0], input_dim[1], 3), _PAD, np.uint8)
+        r = min(input_dim[0] / partner.shape[0],
+                input_dim[1] / partner.shape[1])
+        boxed[:int(partner.shape[0] * r), :int(partner.shape[1] * r)] = \
+            cv2.resize(partner,
+                       (int(partner.shape[1] * r),
+                        int(partner.shape[0] * r)),
+                       interpolation=cv2.INTER_LINEAR)
+        boxed = cv2.resize(
+            boxed, (int(boxed.shape[1] * jit), int(boxed.shape[0] * jit)))
+        r *= jit
         if flip:
-            cp_img = cp_img[:, ::-1, :]
+            boxed = boxed[:, ::-1, :]
+        jh, jw = boxed.shape[:2]
 
-        origin_h, origin_w = cp_img.shape[:2]
-        target_h, target_w = origin_img.shape[:2]
-        padded_img = np.zeros(
-            (max(origin_h, target_h), max(origin_w, target_w), 3),
-            dtype=np.uint8)
-        padded_img[:origin_h, :origin_w] = cp_img
+        # crop window of the target size at a random offset (only the axes
+        # where the jittered canvas exceeds the target have freedom)
+        dy = int(rng.integers(0, jh - th)) if jh > th else 0
+        dx = int(rng.integers(0, jw - tw)) if jw > tw else 0
+        window = np.zeros((max(jh, th), max(jw, tw), 3), np.uint8)
+        window[:jh, :jw] = boxed
+        crop = window[dy:dy + th, dx:dx + tw]
 
-        x_offset, y_offset = 0, 0
-        if padded_img.shape[0] > target_h:
-            y_offset = int(rng.integers(0, padded_img.shape[0] - target_h))
-        if padded_img.shape[1] > target_w:
-            x_offset = int(rng.integers(0, padded_img.shape[1] - target_w))
-        padded_cropped_img = padded_img[
-            y_offset: y_offset + target_h, x_offset: x_offset + target_w]
-
-        cp_bboxes_origin_np = adjust_box_anns(
-            cp_labels[:, :4].copy(), cp_scale_ratio, 0, 0, origin_w,
-            origin_h)
+        # partner boxes through the same chain: scale+clip to the jittered
+        # canvas, mirror, crop shift, clip to the target window
+        pboxes = adjust_box_anns(panns[:, :4].copy(), r, 0, 0, jw, jh)
         if flip:
-            cp_bboxes_origin_np[:, 0::2] = (
-                origin_w - cp_bboxes_origin_np[:, 0::2][:, ::-1])
-        cp_bboxes_transformed_np = cp_bboxes_origin_np.copy()
-        cp_bboxes_transformed_np[:, 0::2] = np.clip(
-            cp_bboxes_transformed_np[:, 0::2] - x_offset, 0, target_w)
-        cp_bboxes_transformed_np[:, 1::2] = np.clip(
-            cp_bboxes_transformed_np[:, 1::2] - y_offset, 0, target_h)
+            pboxes[:, [0, 2]] = jw - pboxes[:, [2, 0]]
+        pboxes[:, [0, 2]] = np.clip(pboxes[:, [0, 2]] - dx, 0, tw)
+        pboxes[:, [1, 3]] = np.clip(pboxes[:, [1, 3]] - dy, 0, th)
 
-        cls_labels = cp_labels[:, 4:5].copy()
-        box_labels = cp_bboxes_transformed_np
-        labels = np.hstack((box_labels, cls_labels))
-        origin_labels = np.vstack((origin_labels, labels))
-        origin_img = origin_img.astype(np.float32)
-        origin_img = 0.5 * origin_img + 0.5 * padded_cropped_img.astype(
+        labels = np.vstack([labels, np.hstack([pboxes, panns[:, 4:5]])])
+        blended = 0.5 * img.astype(np.float32) + 0.5 * crop.astype(
             np.float32)
-        return origin_img.astype(np.uint8), origin_labels
+        return blended.astype(np.uint8), labels
