@@ -1,18 +1,27 @@
-"""COCO detection evaluation (bbox) — pycocotools-compatible, self-contained.
+"""COCO detection evaluation (bbox) — protocol-compatible, self-contained.
 
 The reference uses pycocotools' COCOeval with an optional C++-accelerated
-matching/accumulate kernel (`/root/reference/yolox/layers/cocoeval/`,
-`yolox/layers/fast_coco_eval_api.py`). Neither is available here, so this
-module implements the full algorithm (same matching semantics, PR-curve
-accumulation, and 12-stat summary) in vectorized numpy, with an optional
-C++ matching kernel (`yolox_tpu/native`) for large evaluations.
+kernel (`/root/reference/yolox/layers/cocoeval/cocoeval.cpp`,
+`yolox/layers/fast_coco_eval_api.py`). This module implements the same
+evaluation *protocol* with an array-native design:
 
-Semantics follow the canonical COCO evaluation protocol exactly:
-  - IoU with crowd handling (intersection over dt area for iscrowd gts),
-  - per-(image, category, area-range, maxDets) greedy matching in score
-    order, preferring higher IoU, never re-matching non-crowd gts, ignored
-    gts matched only when no valid gt qualifies,
-  - precision envelope + 101-point recall interpolation,
+  - all annotations are flattened into structure-of-arrays form, grouped by
+    (category, image); detections are score-sorted and truncated once;
+  - greedy matching runs either in the C++ kernel (`yolox_tpu/native`) or a
+    numpy fallback that is sequential only over detections — the
+    (threshold x gt) candidate selection for each detection is one masked
+    argmax, not a nested scan;
+  - PR-curve accumulation is vectorized: one cumulative-sum / running-max /
+    searchsorted pass per (category, area, maxDet) cell over all IoU
+    thresholds at once. There are no per-image records ("evalImgs") at all;
+    match results live in dense (area, threshold, detection) arrays.
+
+Protocol semantics (identical to the canonical COCO evaluation):
+  - IoU with crowd handling (intersection over dt area for iscrowd gts);
+  - per-(image, category, area-range) greedy matching in score order,
+    preferring higher IoU, never re-matching non-crowd gts, ignored gts
+    matched only when no valid gt qualifies;
+  - precision envelope + 101-point recall interpolation;
   - stats: AP, AP50, AP75, AP-S/M/L, AR@1/10/100, AR-S/M/L.
 """
 
@@ -21,11 +30,12 @@ from __future__ import annotations
 import copy
 import datetime
 import time
-from collections import defaultdict
 
 import numpy as np
 
 from yolox_tpu.utils.logger import logger
+
+_EPS = np.spacing(1)
 
 
 class Params:
@@ -69,118 +79,144 @@ def bbox_iou_crowd(dt_boxes, gt_boxes, iscrowd):
     return np.where(union > 0, inter / union, 0.0)
 
 
+def _last_argmax(values, mask):
+    """Row-wise index of the LAST maximum among masked entries, and whether
+    any entry was masked-in. values (T, G), mask (T, G) -> ((T,), (T,))."""
+    neg = np.where(mask, values, -np.inf)
+    n = values.shape[1]
+    idx = n - 1 - np.argmax(neg[:, ::-1], axis=1)
+    return idx, mask.any(axis=1)
+
+
+def match_greedy(ious, gt_ignore, gt_iscrowd, thresholds):
+    """Greedy COCO matching for one (image, category, area-range) cell.
+
+    ious: (D, G) with detections score-sorted and gts in evaluation order
+    (non-ignored first, stable). gt_ignore / gt_iscrowd: (G,) bool in the
+    same order. Returns (dt_matched, dt_ignored) of shape (T, D) plus the
+    per-threshold matched-gt bookkeeping is internal.
+
+    Equivalent to the canonical scan (each detection takes the
+    highest-IoU available gt above the threshold, later index on ties,
+    and falls back to ignored gts only when no valid gt qualifies), but
+    expressed as two masked argmaxes over all thresholds at once; the only
+    sequential dimension is the detections, whose greedy order is
+    semantically load-bearing.
+    """
+    T = len(thresholds)
+    D, G = ious.shape
+    dt_matched = np.zeros((T, D), bool)
+    dt_ignore = np.zeros((T, D), bool)
+    if G == 0 or D == 0:
+        return dt_matched, dt_ignore
+
+    thr = np.minimum(np.asarray(thresholds, np.float64), 1 - 1e-10)[:, None]
+    real = ~gt_ignore[None, :]                       # (1, G)
+    crowd = gt_iscrowd[None, :]
+    taken = np.zeros((T, G), bool)
+
+    for d in range(D):
+        iou_d = ious[d][None, :]                     # (1, G)
+        candidate = (iou_d >= thr) & (~taken | crowd)
+        # a valid (non-ignored) gt always beats any ignored gt: the scan
+        # stops at the ignored region once a valid match exists
+        pick, ok = _last_argmax(
+            np.broadcast_to(iou_d, (T, G)), candidate & real)
+        pick_ig, ok_ig = _last_argmax(
+            np.broadcast_to(iou_d, (T, G)), candidate & ~real)
+        pick = np.where(ok, pick, pick_ig)
+        hit = ok | ok_ig
+        rows = np.nonzero(hit)[0]
+        cols = pick[rows]
+        taken[rows, cols] = True
+        dt_matched[rows, d] = True
+        dt_ignore[rows, d] = gt_ignore[cols]
+    return dt_matched, dt_ignore
+
+
 class COCOeval:
-    """Drop-in for pycocotools.cocoeval.COCOeval (bbox)."""
+    """Drop-in for pycocotools.cocoeval.COCOeval (bbox).
+
+    Public surface: evaluate() -> accumulate() -> summarize(); results in
+    .stats (12,) and .eval["precision"/"recall"/"scores"].
+    """
 
     def __init__(self, cocoGt=None, cocoDt=None, iouType="bbox"):
         self.cocoGt = cocoGt
         self.cocoDt = cocoDt
         self.params = Params(iouType)
-        self.evalImgs = defaultdict(list)
         self.eval = {}
-        self._gts = defaultdict(list)
-        self._dts = defaultdict(list)
         self.stats = []
-        self.ious = {}
+        self.evalImgs = None  # sentinel only; match state is array-native
+        self._match = None
         if cocoGt is not None:
             self.params.imgIds = sorted(cocoGt.getImgIds())
             self.params.catIds = sorted(cocoGt.getCatIds())
 
-    def _prepare(self):
+    # ---------------------------------------------------------- gathering
+
+    def _gather(self):
+        """Flatten annotations into per-(category, image) groups.
+
+        Group order is category-major (categories in params order, images
+        in params order within), so each category's detections occupy one
+        contiguous slice of the flat arrays.
+        """
         p = self.params
+        cat_ids = p.catIds if p.useCats else [-1]
+        max_det = p.maxDets[-1]
+
         gts = self.cocoGt.loadAnns(
             self.cocoGt.getAnnIds(imgIds=p.imgIds, catIds=p.catIds))
         dts = self.cocoDt.loadAnns(
             self.cocoDt.getAnnIds(imgIds=p.imgIds, catIds=p.catIds))
-        for gt in gts:
-            gt["ignore"] = gt.get("ignore", 0) or gt.get("iscrowd", 0)
-        self._gts = defaultdict(list)
-        self._dts = defaultdict(list)
-        for gt in gts:
-            self._gts[gt["image_id"], gt["category_id"]].append(gt)
-        for dt in dts:
-            self._dts[dt["image_id"], dt["category_id"]].append(dt)
-        self.evalImgs = defaultdict(list)
-        self.eval = {}
+        gt_by_key, dt_by_key = {}, {}
+        for g in gts:
+            gt_by_key.setdefault(
+                (g["category_id"], g["image_id"]), []).append(g)
+        for d in dts:
+            dt_by_key.setdefault(
+                (d["category_id"], d["image_id"]), []).append(d)
 
-    def computeIoU(self, imgId, catId):  # noqa: N802,N803
-        p = self.params
-        gt = self._gts[imgId, catId]
-        dt = self._dts[imgId, catId]
-        if len(gt) == 0 and len(dt) == 0:
-            return []
-        inds = np.argsort([-d["score"] for d in dt], kind="mergesort")
-        dt = [dt[i] for i in inds]
-        if len(dt) > p.maxDets[-1]:
-            dt = dt[: p.maxDets[-1]]
-        g = [g_["bbox"] for g_ in gt]
-        d = [d_["bbox"] for d_ in dt]
-        iscrowd = [int(o.get("iscrowd", 0)) for o in gt]
-        return bbox_iou_crowd(d, g, iscrowd)
+        groups = []          # (cat_index, dt list sorted+truncated, gt list)
+        for ki, cat in enumerate(cat_ids):
+            for img in p.imgIds:
+                gt = gt_by_key.get((cat, img), [])
+                dt = dt_by_key.get((cat, img), [])
+                if not gt and not dt:
+                    continue
+                order = np.argsort(
+                    [-d["score"] for d in dt], kind="mergesort")
+                dt = [dt[i] for i in order[:max_det]]
+                groups.append((ki, dt, gt))
 
-    def evaluateImg(self, imgId, catId, aRng, maxDet):  # noqa: N802,N803
-        p = self.params
-        gt = self._gts[imgId, catId]
-        dt = self._dts[imgId, catId]
-        if len(gt) == 0 and len(dt) == 0:
-            return None
+        self._n_groups = len(groups)
+        self._group_cat = np.array([g[0] for g in groups], np.int64)
+        self._dt_counts = np.array([len(g[1]) for g in groups], np.int64)
+        self._gt_counts = np.array([len(g[2]) for g in groups], np.int64)
 
-        for g in gt:
-            g["_ignore"] = 1 if (g["ignore"] or g["area"] < aRng[0]
-                                 or g["area"] > aRng[1]) else 0
+        flat_dt = [d for _, dt, _ in groups for d in dt]
+        flat_gt = [g for _, _, gt in groups for g in gt]
+        self._dt_score = np.array(
+            [d["score"] for d in flat_dt], np.float64)
+        self._dt_area = np.array(
+            [d["bbox"][2] * d["bbox"][3] for d in flat_dt], np.float64)
+        self._gt_area = np.array(
+            [g["area"] for g in flat_gt], np.float64)
+        self._gt_crowd = np.array(
+            [bool(g.get("iscrowd", 0)) for g in flat_gt], bool)
+        self._gt_ignore_base = np.array(
+            [bool(g.get("ignore", 0)) or bool(g.get("iscrowd", 0))
+             for g in flat_gt], bool)
 
-        gtind = np.argsort([g["_ignore"] for g in gt], kind="mergesort")
-        gt = [gt[i] for i in gtind]
-        dtind = np.argsort([-d["score"] for d in dt], kind="mergesort")
-        dt = [dt[i] for i in dtind[0:maxDet]]
-        iscrowd = [int(o.get("iscrowd", 0)) for o in gt]
-        ious = (self.ious[imgId, catId][:, gtind]
-                if len(self.ious[imgId, catId]) > 0
-                else self.ious[imgId, catId])
+        self._ious = [
+            bbox_iou_crowd(
+                [d["bbox"] for d in dt], [g["bbox"] for g in gt],
+                [int(g.get("iscrowd", 0)) for g in gt])
+            for _, dt, gt in groups
+        ]
 
-        T = len(p.iouThrs)
-        G = len(gt)
-        D = len(dt)
-        gtm = np.zeros((T, G))
-        dtm = np.zeros((T, D))
-        gtIg = np.array([g["_ignore"] for g in gt])
-        dtIg = np.zeros((T, D))
-        if len(ious) != 0:
-            for tind, t in enumerate(p.iouThrs):
-                for dind, d in enumerate(dt):
-                    iou = min([t, 1 - 1e-10])
-                    m = -1
-                    for gind, g in enumerate(gt):
-                        if gtm[tind, gind] > 0 and not iscrowd[gind]:
-                            continue
-                        if m > -1 and gtIg[m] == 0 and gtIg[gind] == 1:
-                            break
-                        if ious[dind, gind] < iou:
-                            continue
-                        iou = ious[dind, gind]
-                        m = gind
-                    if m == -1:
-                        continue
-                    dtIg[tind, dind] = gtIg[m]
-                    dtm[tind, dind] = gt[m]["id"]
-                    gtm[tind, m] = d["id"]
-        a = np.array([d["area"] < aRng[0] or d["area"] > aRng[1]
-                      for d in dt]).reshape((1, len(dt)))
-        dtIg = np.logical_or(
-            dtIg, np.logical_and(dtm == 0, np.repeat(a, T, 0)))
-        return {
-            "image_id": imgId,
-            "category_id": catId,
-            "aRng": aRng,
-            "maxDet": maxDet,
-            "dtIds": [d["id"] for d in dt],
-            "gtIds": [g["id"] for g in gt],
-            "dtMatches": dtm,
-            "gtMatches": gtm,
-            "dtScores": [d["score"] for d in dt],
-            "gtIgnore": gtIg,
-            "dtIgnore": dtIg,
-        }
+    # ----------------------------------------------------------- matching
 
     def evaluate(self, use_native: bool = True):
         tic = time.time()
@@ -189,130 +225,112 @@ class COCOeval:
         if p.useCats:
             p.catIds = list(np.unique(p.catIds))
         p.maxDets = sorted(p.maxDets)
-        self._prepare()
-        cat_ids = p.catIds if p.useCats else [-1]
-        self.ious = {
-            (imgId, catId): self.computeIoU(imgId, catId)
-            for imgId in p.imgIds for catId in cat_ids
-        }
-        maxDet = p.maxDets[-1]
+        self._gather()
+
         native = None
         if use_native:
             from yolox_tpu.native import load_cocoeval_lib
 
             native = load_cocoeval_lib()
-        if native is not None:
-            self.evalImgs = self._evaluate_native(cat_ids, maxDet)
+        if native is not None and self._n_groups > 0:
+            self._match_native()
         else:
-            self.evalImgs = [
-                self.evaluateImg(imgId, catId, areaRng, maxDet)
-                for catId in cat_ids
-                for areaRng in p.areaRng
-                for imgId in p.imgIds
-            ]
+            self._match_python()
+        self.evalImgs = True
         self._paramsEval = copy.deepcopy(self.params)
         logger.info(f"COCOeval evaluate done (t={time.time() - tic:.2f}s, "
                     f"native={'yes' if native else 'no'})")
 
-    def _evaluate_native(self, cat_ids, maxDet):  # noqa: N803
-        """Run matching in the C++ kernel (yolox_tpu/native/cocoeval.cpp);
-        returns evalImgs dicts identical to the python path's."""
+    def _alloc_match(self):
+        p = self.params
+        A, T = len(p.areaRng), len(p.iouThrs)
+        n_dt, n_gt = int(self._dt_counts.sum()), int(self._gt_counts.sum())
+        self._match = {
+            "dtm": np.zeros((A, T, n_dt), bool),
+            "dtig": np.zeros((A, T, n_dt), bool),
+            "gtig": np.zeros((A, n_gt), bool),
+        }
+
+    def _match_python(self):
+        p = self.params
+        thrs = np.asarray(p.iouThrs, np.float64)
+        self._alloc_match()
+        m = self._match
+        dt_start = np.concatenate([[0], np.cumsum(self._dt_counts)])
+        gt_start = np.concatenate([[0], np.cumsum(self._gt_counts)])
+        area_rng = np.asarray(p.areaRng, np.float64)
+
+        for g in range(self._n_groups):
+            ds, de = dt_start[g], dt_start[g + 1]
+            gs, ge = gt_start[g], gt_start[g + 1]
+            ig_base = self._gt_ignore_base[gs:ge]
+            crowd = self._gt_crowd[gs:ge]
+            g_area = self._gt_area[gs:ge]
+            d_area = self._dt_area[ds:de]
+            ious = self._ious[g]
+            for a, (lo, hi) in enumerate(area_rng):
+                ignore = ig_base | (g_area < lo) | (g_area > hi)
+                order = np.argsort(ignore, kind="mergesort")
+                dtm, dtig = match_greedy(
+                    ious[:, order] if ious.size else ious,
+                    ignore[order], crowd[order], thrs)
+                outside = (d_area < lo) | (d_area > hi)
+                dtig |= ~dtm & outside[None, :]
+                m["dtm"][a, :, ds:de] = dtm
+                m["dtig"][a, :, ds:de] = dtig
+                m["gtig"][a, gs:ge] = ignore[order]
+
+    def _match_native(self):
+        """Run matching in the C++ kernel and scatter its per-(group, area)
+        blocks into the dense (area, threshold, detection) arrays."""
         from yolox_tpu.native import cocoeval_evaluate_native
 
         p = self.params
-        groups = []      # (imgId, catId, dts_sorted, gts) for non-empty
-        group_of = {}    # (catId, imgId) -> group idx or None
-        dt_off = [0]
-        gt_off = [0]
-        iou_off = []
-        dt_areas, dt_scores_all, dt_ids_all = [], [], []
-        gt_areas, gt_iscrowd, gt_ignore_base, gt_ids_all = [], [], [], []
-        iou_flat = []
-        iou_pos = 0
-        for catId in cat_ids:
-            for imgId in p.imgIds:
-                gt = self._gts[imgId, catId]
-                dt = self._dts[imgId, catId]
-                if len(gt) == 0 and len(dt) == 0:
-                    group_of[catId, imgId] = None
-                    continue
-                inds = np.argsort([-d["score"] for d in dt],
-                                  kind="mergesort")
-                dt = [dt[i] for i in inds][: p.maxDets[-1]]
-                group_of[catId, imgId] = len(groups)
-                groups.append((imgId, catId, dt, gt))
-                dt_off.append(dt_off[-1] + len(dt))
-                gt_off.append(gt_off[-1] + len(gt))
-                dt_areas.extend(d["area"] for d in dt)
-                dt_scores_all.append([d["score"] for d in dt])
-                dt_ids_all.append([d["id"] for d in dt])
-                gt_areas.extend(g["area"] for g in gt)
-                gt_iscrowd.extend(int(g.get("iscrowd", 0)) for g in gt)
-                gt_ignore_base.extend(int(g["ignore"]) for g in gt)
-                gt_ids_all.append([g["id"] for g in gt])
-                ious = np.asarray(self.ious[imgId, catId], np.float64)
-                iou_off.append(iou_pos)
-                iou_flat.append(ious.reshape(-1))
-                iou_pos += ious.size
-
-        if not groups:
-            return [None] * (len(cat_ids) * len(p.areaRng) * len(p.imgIds))
+        T, A = len(p.iouThrs), len(p.areaRng)
+        dt_off = np.concatenate([[0], np.cumsum(self._dt_counts)])
+        gt_off = np.concatenate([[0], np.cumsum(self._gt_counts)])
+        iou_off = np.concatenate(
+            [[0], np.cumsum([i.size for i in self._ious])])[:-1]
+        iou_flat = (np.concatenate([i.reshape(-1) for i in self._ious])
+                    if self._ious else np.zeros(0, np.float64))
 
         dt_matched, dt_ignored, gt_ignored, out_dt_off, out_gt_off = \
             cocoeval_evaluate_native(
-                np.asarray(dt_off), np.asarray(gt_off),
-                np.asarray(iou_off, np.int64),
-                np.asarray(dt_areas, np.float64),
-                np.asarray(gt_areas, np.float64),
-                np.asarray(gt_iscrowd, np.uint8),
-                np.asarray(gt_ignore_base, np.uint8),
-                (np.concatenate(iou_flat) if iou_flat
-                 else np.zeros(0, np.float64)),
-                np.asarray(p.iouThrs, np.float64),
-                np.asarray(p.areaRng, np.float64),
-                maxDet)
+                dt_off, gt_off, iou_off.astype(np.int64),
+                self._dt_area, self._gt_area,
+                self._gt_crowd.astype(np.uint8),
+                self._gt_ignore_base.astype(np.uint8),
+                iou_flat, np.asarray(p.iouThrs, np.float64),
+                np.asarray(p.areaRng, np.float64), p.maxDets[-1])
 
-        T = len(p.iouThrs)
-        n_area = len(p.areaRng)
-        evalImgs = []
-        for k, catId in enumerate(cat_ids):
-            for a, aRng in enumerate(p.areaRng):
-                for imgId in p.imgIds:
-                    gidx = group_of[catId, imgId]
-                    if gidx is None:
-                        evalImgs.append(None)
-                        continue
-                    r = gidx * n_area + a
-                    D = int(out_dt_off[r + 1] - out_dt_off[r])
-                    G = int(out_gt_off[r + 1] - out_gt_off[r])
-                    dm = dt_matched[
-                        out_dt_off[r] * T: out_dt_off[r] * T + T * D
-                    ].reshape(T, D).astype(np.float64)
-                    dig = dt_ignored[
-                        out_dt_off[r] * T: out_dt_off[r] * T + T * D
-                    ].reshape(T, D).astype(bool)
-                    gig = gt_ignored[
-                        out_gt_off[r]: out_gt_off[r] + G
-                    ].astype(np.int64)
-                    evalImgs.append({
-                        "image_id": imgId,
-                        "category_id": catId,
-                        "aRng": aRng,
-                        "maxDet": maxDet,
-                        "dtIds": dt_ids_all[gidx],
-                        "gtIds": gt_ids_all[gidx],
-                        "dtMatches": dm,
-                        "gtMatches": None,
-                        "dtScores": dt_scores_all[gidx],
-                        "gtIgnore": gig,
-                        "dtIgnore": dig,
-                    })
-        return evalImgs
+        self._alloc_match()
+        m = self._match
+        n_dt = int(self._dt_counts.sum())
+        n_gt = int(self._gt_counts.sum())
+        # kernel block r = g * A + a holds a (T, D_g) row-major slab at
+        # element offset out_dt_off[r] * T; gather every slab of area a
+        # into the dense arrays with one fancy index
+        g_of_dt = np.repeat(np.arange(self._n_groups), self._dt_counts)
+        d_in_g = np.arange(n_dt) - dt_off[g_of_dt]
+        dcnt = self._dt_counts[g_of_dt]
+        g_of_gt = np.repeat(np.arange(self._n_groups), self._gt_counts)
+        j_in_g = np.arange(n_gt) - gt_off[g_of_gt]
+        t_col = np.arange(T)[:, None]
+        for a in range(A):
+            base = out_dt_off[g_of_dt * A + a] * T
+            idx = base[None, :] + t_col * dcnt[None, :] + d_in_g[None, :]
+            m["dtm"][a] = dt_matched[idx].astype(bool)
+            m["dtig"][a] = dt_ignored[idx].astype(bool)
+            gidx = out_gt_off[g_of_gt * A + a] + j_in_g
+            m["gtig"][a] = gt_ignored[gidx].astype(bool)
+
+    # --------------------------------------------------------- accumulate
 
     def accumulate(self, p=None):
         tic = time.time()
-        if not self.evalImgs:
+        if self._match is None:
             logger.warning("Please run evaluate() first")
+            return
         if p is None:
             p = self.params
         p.catIds = p.catIds if p.useCats == 1 else [-1]
@@ -324,76 +342,61 @@ class COCOeval:
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
         scores = -np.ones((T, R, K, A, M))
+        rec_thrs = np.asarray(p.recThrs, np.float64)
+        max_dets = np.asarray(p.maxDets)
 
-        _pe = self._paramsEval
-        catIds = _pe.catIds if _pe.useCats else [-1]
-        setK = set(catIds)
-        setA = set(map(tuple, _pe.areaRng))
-        setM = set(_pe.maxDets)
-        setI = set(_pe.imgIds)
-        k_list = [n for n, k in enumerate(p.catIds) if k in setK]
-        m_list = [m for n, m in enumerate(p.maxDets) if m in setM]
-        a_list = [n for n, a in enumerate(
-            map(lambda x: tuple(x), p.areaRng)) if a in setA]
-        i_list = [n for n, i in enumerate(p.imgIds) if i in setI]
-        I0 = len(_pe.imgIds)
-        A0 = len(_pe.areaRng)
-        for k, k0 in enumerate(k_list):
-            Nk = k0 * A0 * I0
-            for a, a0 in enumerate(a_list):
-                Na = a0 * I0
-                for m, maxDet in enumerate(m_list):
-                    E = [self.evalImgs[Nk + Na + i] for i in i_list]
-                    E = [e for e in E if e is not None]
-                    if len(E) == 0:
-                        continue
-                    dtScores = np.concatenate(
-                        [e["dtScores"][0:maxDet] for e in E])
-                    inds = np.argsort(-dtScores, kind="mergesort")
-                    dtScoresSorted = dtScores[inds]
+        m = self._match
+        # per-detection metadata in flat order (category-major groups)
+        g_of_dt = np.repeat(np.arange(self._n_groups), self._dt_counts)
+        dt_start = np.concatenate([[0], np.cumsum(self._dt_counts)])
+        dt_rank = np.arange(len(g_of_dt)) - dt_start[g_of_dt]
+        dt_cat = self._group_cat[g_of_dt]
+        g_of_gt = np.repeat(np.arange(self._n_groups), self._gt_counts)
+        gt_cat = self._group_cat[g_of_gt]
 
-                    dtm = np.concatenate(
-                        [e["dtMatches"][:, 0:maxDet] for e in E],
-                        axis=1)[:, inds]
-                    dtIg = np.concatenate(
-                        [e["dtIgnore"][:, 0:maxDet] for e in E],
-                        axis=1)[:, inds]
-                    gtIg = np.concatenate([e["gtIgnore"] for e in E])
-                    npig = np.count_nonzero(gtIg == 0)
-                    if npig == 0:
-                        continue
-                    tps = np.logical_and(dtm, np.logical_not(dtIg))
-                    fps = np.logical_and(
-                        np.logical_not(dtm), np.logical_not(dtIg))
+        for k in range(K):
+            if not (self._group_cat == k).any():
+                continue  # no image has annotations for this category
+            dsel = np.nonzero(dt_cat == k)[0]
+            gsel = gt_cat == k
+            # one score sort per category (stable: ties keep image order),
+            # shared by every (area, maxDet) cell
+            order = dsel[np.argsort(-self._dt_score[dsel], kind="mergesort")]
+            score_sorted = self._dt_score[order]
+            rank_sorted = dt_rank[order]
+            keep_by_m = rank_sorted[None, :] < max_dets[:, None]  # (M, nd)
 
-                    tp_sum = np.cumsum(tps, axis=1).astype(dtype=float)
-                    fp_sum = np.cumsum(fps, axis=1).astype(dtype=float)
-                    for t, (tp, fp) in enumerate(zip(tp_sum, fp_sum)):
-                        tp = np.array(tp)
-                        fp = np.array(fp)
-                        nd = len(tp)
-                        rc = tp / npig
-                        pr = tp / (fp + tp + np.spacing(1))
-                        q = np.zeros((R,))
-                        ss = np.zeros((R,))
-                        if nd:
-                            recall[t, k, a, m] = rc[-1]
-                        else:
-                            recall[t, k, a, m] = 0
-                        pr = pr.tolist()
-                        q = q.tolist()
-                        for i in range(nd - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
-                        inds_r = np.searchsorted(rc, p.recThrs, side="left")
-                        try:
-                            for ri, pi in enumerate(inds_r):
-                                q[ri] = pr[pi]
-                                ss[ri] = dtScoresSorted[pi]
-                        except Exception:
-                            pass
-                        precision[t, :, k, a, m] = np.array(q)
-                        scores[t, :, k, a, m] = np.array(ss)
+            for a in range(A):
+                npig = int(np.count_nonzero(~m["gtig"][a][gsel]))
+                if npig == 0:
+                    continue
+                dtm_a = m["dtm"][a][:, order]
+                dtig_a = m["dtig"][a][:, order]
+                for mi in range(M):
+                    keep = keep_by_m[mi]
+                    dtm = dtm_a[:, keep]
+                    dtig = dtig_a[:, keep]
+                    ss = score_sorted[keep]
+                    nd = dtm.shape[1]
+
+                    tp = np.cumsum(dtm & ~dtig, axis=1, dtype=np.float64)
+                    fp = np.cumsum(~dtm & ~dtig, axis=1, dtype=np.float64)
+                    rc = tp / npig
+                    pr = tp / (tp + fp + _EPS)
+                    recall[:, k, a, mi] = rc[:, -1] if nd else 0.0
+                    # precision envelope: running max from the right,
+                    # all thresholds at once
+                    env = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
+                    q = np.zeros((T, R))
+                    s = np.zeros((T, R))
+                    for t in range(T):
+                        pos = np.searchsorted(rc[t], rec_thrs, side="left")
+                        ok = pos < nd
+                        q[t, ok] = env[t, pos[ok]]
+                        s[t, ok] = ss[pos[ok]]
+                    precision[:, :, k, a, mi] = q
+                    scores[:, :, k, a, mi] = s
+
         self.eval = {
             "params": p,
             "counts": [T, R, K, A, M],
@@ -403,6 +406,8 @@ class COCOeval:
             "scores": scores,
         }
         logger.info(f"COCOeval accumulate done (t={time.time() - tic:.2f}s)")
+
+    # ---------------------------------------------------------- summarize
 
     def summarize(self):
         def _summarize(ap=1, iouThr=None, areaRng="all", maxDets=100):
