@@ -89,9 +89,10 @@ def test_wandb_logger_full_cycle(fake_wandb, monkeypatch, tmp_path):
     table = fake_wandb.logged[-1][0]["val/predictions"]
     assert table.rows[0][1] == 1  # one box
 
-    # artifact upload: file must exist
-    (tmp_path / "best_ckpt.npz").write_bytes(b"x")
-    wl.save_checkpoint(str(tmp_path), "best", is_best=True,
+    # artifact upload: the trainer writes '<ckpt_name>_ckpt.pth' via
+    # checkpoint.save_checkpoint — plant exactly that file name
+    (tmp_path / "latest_ckpt.pth").write_bytes(b"x")
+    wl.save_checkpoint(str(tmp_path), "latest", is_best=True,
                        metadata={"epoch": 3})
     art, aliases = fake_wandb.artifacts[-1]
     assert "best" in aliases and art.metadata["epoch"] == 3

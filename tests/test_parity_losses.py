@@ -200,3 +200,50 @@ def test_candidate_compaction_exact_vs_full():
         else:
             # overflow must be visible in telemetry (crowded-scene case)
             assert int(compact["num_cand"]) > 256
+
+
+def test_simota_overflow_is_loud_at_640():
+    """A dense 640px scene (120 well-separated gts) exceeds the default
+    2048-candidate cap; the cand_overflow metric must fire, and the
+    config knob (simota_candidates=4096) must make it exact again."""
+    import jax.numpy as jnp
+
+    from yolox_tpu.models.assign import compute_losses
+
+    xs, ys, ss = [], [], []
+    for n, s in ((80, 8), (40, 16), (20, 32)):
+        yy, xx = np.mgrid[0:n, 0:n]
+        xs.append(xx.ravel()); ys.append(yy.ravel())
+        ss.append(np.full(n * n, s))
+    x_shifts = jnp.asarray(np.concatenate(xs), jnp.float32)
+    y_shifts = jnp.asarray(np.concatenate(ys), jnp.float32)
+    strides = jnp.asarray(np.concatenate(ss), jnp.float32)
+    a = int(x_shifts.shape[0])
+    assert a == 8400
+
+    # 120 gts on an 11x11 grid, 54px apart — far enough that stride-8
+    # candidate windows never overlap
+    coords = [(40 + 54 * i, 40 + 54 * j)
+              for i in range(11) for j in range(11)][:120]
+    labels = np.zeros((1, 120, 5), np.float32)
+    for k, (cx, cy) in enumerate(coords):
+        labels[0, k] = [k % 80, cx, cy, 20, 20]
+
+    outputs = np.zeros((1, a, 85), np.float32)
+    outputs[0, :, 0] = (np.asarray(x_shifts) + 0.5) * np.asarray(strides)
+    outputs[0, :, 1] = (np.asarray(y_shifts) + 0.5) * np.asarray(strides)
+    outputs[0, :, 2:4] = 16.0
+    head_out = {
+        "outputs": jnp.asarray(outputs),
+        "x_shifts": x_shifts,
+        "y_shifts": y_shifts,
+        "expanded_strides": strides,
+    }
+
+    overflowed = compute_losses(
+        head_out, jnp.asarray(labels), 80, num_candidates=2048)
+    assert float(overflowed["cand_overflow"]) > 0
+
+    exact = compute_losses(
+        head_out, jnp.asarray(labels), 80, num_candidates=4096)
+    assert float(exact["cand_overflow"]) == 0.0

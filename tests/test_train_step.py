@@ -174,6 +174,8 @@ def test_freeze_prefix_pins_params(tiny_module):
     x, labels = _toy_batch()
     before = {k: np.asarray(v).copy()
               for k, v in nested_to_flat(state["params"]).items()}
+    stats_before = {k: np.asarray(v).copy()
+                    for k, v in nested_to_flat(state["stats"]).items()}
     for _ in range(2):
         state, _ = step(state, x, labels, jnp.float32(0.02))
     after = nested_to_flat(state["params"])
@@ -182,6 +184,15 @@ def test_freeze_prefix_pins_params(tiny_module):
     assert all(not k.startswith("backbone") for k in changed), (
         sorted(changed)[:5])
     assert any(k.startswith("head") for k in changed)
+    # frozen modules run in eval mode (reference freeze_module puts them in
+    # eval()): their BN running stats must not move; head stats must
+    stats_after = nested_to_flat(state["stats"])
+    stats_changed = {
+        k for k in stats_before
+        if not np.array_equal(stats_before[k], np.asarray(stats_after[k]))}
+    assert all(not k.startswith("backbone") for k in stats_changed), (
+        sorted(stats_changed)[:5])
+    assert any(k.startswith("head") for k in stats_changed)
 
 
 def test_bf16_train_step_runs_and_learns(tiny_module):

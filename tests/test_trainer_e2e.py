@@ -168,13 +168,20 @@ def test_orbax_checkpoint_and_resume(tiny_cfg):
     import jax
 
     from yolox_tpu.models.weights import nested_to_flat
-    from yolox_tpu.utils.orbax_io import latest_orbax_step
+    from yolox_tpu.utils.orbax_io import best_orbax_step, latest_orbax_step
 
     tiny_cfg.ckpt_format = "orbax"
     trainer = tiny_cfg.get_trainer(_args(tiny_cfg.output_dir))
     trainer.train()
     odir = os.path.join(trainer.file_name, "orbax")
     assert latest_orbax_step(odir) == tiny_cfg.max_epoch
+    # best-model identity must be recorded even when the best flag arrives
+    # AFTER the step was already saved as 'latest' within the same epoch
+    # (random-weight runs score AP 0.0 so the trainer never marks best;
+    # drive the flag directly through the same save path)
+    assert best_orbax_step(odir) is None
+    trainer.save_ckpt("last_epoch", update_best_ckpt=True, ap=0.5)
+    assert best_orbax_step(odir) == tiny_cfg.max_epoch
     final = {k: np.asarray(v) for k, v in nested_to_flat(
         jax.tree.map(np.asarray, trainer.train_state["params"])).items()}
 

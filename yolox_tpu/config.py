@@ -66,6 +66,14 @@ class YoloxConfig:
     # (e.g. "backbone.backbone" = CSPDarknet). Reference analog:
     # `freeze_module` applied in Exp.get_model (`model_utils.py:129`).
     freeze_prefix: Optional[str] = None
+    # SimOTA candidate-compaction slots. Assignment is EXACT (identical to
+    # the reference's dense per-image matching) while the number of
+    # geometry-constrained candidate anchors in an image is <= this cap;
+    # the trainer warns via the cand_overflow metric when it is exceeded.
+    # Worst case is ~27 anchors/gt x max_labels=120 = 3240 for
+    # non-overlapping dense scenes; raise to 4096 to make overflow
+    # impossible at a ~2x cost in the (small) candidate-space loss terms.
+    simota_candidates: int = 2048
 
     weight_decay: float = 5e-4
     momentum: float = 0.9

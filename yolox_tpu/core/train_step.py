@@ -77,6 +77,7 @@ def make_train_step(
     use_l1: bool = False,
     freeze_prefix: Optional[str] = None,
     remat: bool = False,
+    num_candidates: Optional[int] = None,
 ):
     """Returns step(state, x, labels, lr) -> (state, metrics).
 
@@ -87,8 +88,11 @@ def make_train_step(
 
     freeze_prefix pins every parameter leaf whose flat dotted key starts
     with the prefix (e.g. "backbone.backbone" = the CSPDarknet): neither
-    SGD, weight decay, nor momentum touches it (reference `freeze_module`,
-    `model_utils.py:129`, applied via Exp.get_model overrides).
+    SGD, weight decay, nor momentum touches it, and BatchNorm layers under
+    the prefix run in eval mode (normalize with running stats, no stat
+    updates) — matching the reference `freeze_module`, which both detaches
+    parameters and puts frozen submodules in eval()
+    (`model_utils.py:129-150`).
     """
     distributed = mesh is not None
 
@@ -104,7 +108,8 @@ def make_train_step(
 
         def forward(params, xin):
             collector = BNCollector()
-            head_out = module.apply_train(params, xin, collector)
+            head_out = module.apply_train(
+                params, xin, collector, freeze_prefix=freeze_prefix)
             return head_out, collector.updates
 
         if remat:
@@ -118,7 +123,10 @@ def make_train_step(
             params = merge_params(trainable, state["stats"])
             xin = x.astype(compute_dtype)
             head_out, bn_updates = forward(params, xin)
-            losses = compute_losses(head_out, labels, num_classes, use_l1)
+            losses = compute_losses(
+                head_out, labels, num_classes, use_l1,
+                **({} if num_candidates is None
+                   else {"num_candidates": num_candidates}))
             return losses["total_loss"], (losses, bn_updates)
 
         (_, (losses, bn_updates)), grads = jax.value_and_grad(

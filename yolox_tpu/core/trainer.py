@@ -227,6 +227,7 @@ class Trainer:
             compute_dtype=compute_dtype,
             freeze_prefix=getattr(self.exp, "freeze_prefix", None),
             remat=getattr(self.exp, "remat", False),
+            num_candidates=getattr(self.exp, "simota_candidates", None),
         )
         self._step = make_train_step(
             self.module, self.exp.num_classes, use_l1=False, **common)
@@ -363,6 +364,18 @@ class Trainer:
                 f"{progress_str}, {mem_str}, {time_str}, {loss_str}, "
                 f"lr: {self.meter['lr'].latest:.3e}, "
                 f"size: {self._current_size[0]:d}, {eta_str}")
+
+            overflow = self.meter.get("cand_overflow")
+            if overflow is not None and overflow.avg and overflow.avg > 0:
+                # compaction is exact only while candidates <= the cap;
+                # past it, assignment silently deviates from the reference
+                cap = getattr(self.exp, "simota_candidates", None)
+                logger.warning(
+                    "SimOTA candidate compaction overflowed in "
+                    f"{overflow.avg:.1%} of recent images (cap "
+                    f"simota_candidates={cap}): label assignment deviates "
+                    "from the reference for those images — raise the cap "
+                    "(e.g. -D simota_candidates=4096)")
 
             if self.rank == 0 and self.tblogger is not None:
                 self.tblogger.add_scalar(
@@ -534,16 +547,28 @@ class Trainer:
             from yolox_tpu.utils.orbax_io import save_orbax
 
             step = self.epoch + 1
-            if getattr(self, "_orbax_saved_step", None) == step:
-                return  # one orbax step per epoch ("latest"/"last_epoch"...)
-            self._orbax_saved_step = step
-            # full training state (params/stats/momentum/ema) -> host arrays
-            host_state = jax.tree.map(np.asarray, self.train_state)
-            save_orbax(host_state,
-                       os.path.join(self.file_name, "orbax"), step,
-                       metadata={"best_ap": float(self.best_ap),
-                                 "curr_ap": None if ap is None else float(ap),
-                                 "name": ckpt_name})
+            orbax_dir = os.path.join(self.file_name, "orbax")
+            if getattr(self, "_orbax_saved_step", None) != step:
+                # one orbax step per epoch ("latest"/"last_epoch"/history
+                # all alias the same training state)
+                self._orbax_saved_step = step
+                # full training state (params/stats/momentum/ema) -> host
+                host_state = jax.tree.map(np.asarray, self.train_state)
+                save_orbax(host_state, orbax_dir, step,
+                           metadata={
+                               "best_ap": float(self.best_ap),
+                               "curr_ap": None if ap is None else float(ap),
+                               "name": ckpt_name})
+            if update_best_ckpt:
+                # best-model identity survives even when the best flag
+                # arrives after the step was already saved ("latest" saves
+                # first, eval marks best later in the same epoch)
+                import json
+
+                os.makedirs(orbax_dir, exist_ok=True)
+                with open(os.path.join(orbax_dir, "best.json"), "w") as f:
+                    json.dump({"step": step,
+                               "best_ap": float(self.best_ap)}, f)
             return
 
         logger.info(f"Save weights to {self.file_name}")

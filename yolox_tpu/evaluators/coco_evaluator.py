@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 
 from yolox_tpu.data.datasets import COCO_CLASSES
+from yolox_tpu.ops.preproc import letterbox_ratio
 from yolox_tpu.utils.logger import logger
 
 
@@ -90,19 +91,22 @@ class CocoEvaluator:
 
     def evaluate(self, model, distributed=False, half=False,
                  return_outputs=False, decoder=None, test_size=None):
-        """Returns (ap50_95, ap50, summary_str)[, image-wise outputs]."""
+        """Returns (ap50_95, ap50, summary_str)[, image-wise outputs].
+
+        half=True runs the forward in bfloat16 (input cast to bf16, decode
+        output cast back to f32 so postprocess/NMS stay full-precision) —
+        the reference's fp16 eval flag.
+        """
         import jax
+        import jax.numpy as jnp
 
         from yolox_tpu.ops.nms import postprocess_device
 
-        dtype = None
-        if half:
-            import jax.numpy as jnp
-
-            dtype = jnp.bfloat16
-
         def infer(x):
-            out = model(x) if dtype is None else model(x.astype(np.float32))
+            xin = jnp.asarray(x)
+            if half:
+                xin = xin.astype(jnp.bfloat16)
+            out = jnp.asarray(model(xin), jnp.float32)
             return postprocess_device(
                 out, self.num_classes, conf_thre=self.confthre,
                 nms_thre=self.nmsthre, class_agnostic=False,
@@ -173,8 +177,8 @@ class CocoEvaluator:
             rows = dets[i][valid[i]]
             if rows.shape[0] == 0:
                 continue
-            scale = min(self.img_size[0] / float(img_h),
-                        self.img_size[1] / float(img_w))
+            scale = letterbox_ratio(
+                (float(img_h), float(img_w)), self.img_size)
             bboxes = rows[:, 0:4] / scale
             cls = rows[:, 6]
             scores = rows[:, 4] * rows[:, 5]
@@ -209,7 +213,11 @@ class CocoEvaluator:
         n_samples = statistics[2]
         batch_size = getattr(self.dataloader.batch_sampler, "batch_size", 1)
         a_infer_time = 1000 * inference_time / (n_samples * batch_size)
-        info = (f"Average inference time (fwd+NMS): "
+        # NOTE: pipelined measurement — async dispatch time plus the fetch
+        # of the previous batch, partially overlapped by host-side COCO
+        # conversion. It is end-to-end eval wall time per image, NOT pure
+        # forward latency (bench.py --mode serve measures that).
+        info = (f"Average pipelined inference time (fwd+NMS, overlapped): "
                 f"{a_infer_time:.2f} ms\n")
 
         if len(data_dict) > 0:

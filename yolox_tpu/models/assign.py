@@ -206,6 +206,7 @@ def compute_losses(
     labels,                       # (B, M, 5)
     num_classes: int,
     use_l1: bool = False,
+    num_candidates: int = NUM_CANDIDATES,
 ) -> Dict[str, jnp.ndarray]:
     """Batched YOLOX losses (`yolo_head.py:253-411`).
 
@@ -227,7 +228,8 @@ def compute_losses(
 
     assign = jax.vmap(
         lambda lab, bp, ol, cl: simota_assign(
-            lab, bp, ol, cl, x_shifts, y_shifts, strides, num_classes)
+            lab, bp, ol, cl, x_shifts, y_shifts, strides, num_classes,
+            num_candidates=num_candidates)
     )(labels.astype(jnp.float32), bbox_preds, obj_logits, cls_logits)
 
     fg_f = assign["fg_mask"].astype(jnp.float32)         # (B, A)

@@ -119,10 +119,17 @@ class BNCollector:
 
 @dataclass
 class Ctx:
-    """Per-call context: train-mode flag + BN statistic collector."""
+    """Per-call context: train-mode flag + BN statistic collector.
+
+    `eval_prefix`: parameter paths under this prefix run their BatchNorm in
+    eval mode even when `train` is set — the reference's `freeze_module`
+    puts frozen submodules in eval() (`model_utils.py:148-150`), so a
+    frozen backbone normalizes with running stats and stops updating them.
+    """
 
     train: bool = False
     collector: Optional[BNCollector] = None
+    eval_prefix: Optional[str] = None
 
 
 EVAL_CTX = Ctx(train=False, collector=None)
@@ -132,7 +139,8 @@ def batch_norm(p: Params, x, ctx: Ctx, path: str):
     """BatchNorm2d over NHWC, torch-exact semantics (see module docstring)."""
     gamma = p["weight"]
     beta = p["bias"]
-    if ctx.train:
+    frozen = ctx.eval_prefix is not None and path.startswith(ctx.eval_prefix)
+    if ctx.train and not frozen:
         # Normalize with biased batch statistics (torch train mode).
         # Stats in f32 regardless of compute dtype (torch autocast runs
         # batch_norm in f32).

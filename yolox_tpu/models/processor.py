@@ -17,7 +17,7 @@ from typing import Iterable, List, TypedDict, Union
 import numpy as np
 
 from yolox_tpu.config import YoloxConfig
-from yolox_tpu.ops.preproc import preproc
+from yolox_tpu.ops.preproc import letterbox_ratio, preproc
 
 
 class Detections(TypedDict):
@@ -75,8 +75,7 @@ class YoloxProcessor:
                 h, w = image.height, image.width
             else:
                 h, w = np.asarray(image).shape[:2]
-            ratio = min(self.config.test_size[0] / h,
-                        self.config.test_size[1] / w)
+            ratio = letterbox_ratio((h, w), self.config.test_size)
             rows = dets[i][valid[i]]
             results.append(
                 Detections(

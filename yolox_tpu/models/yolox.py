@@ -244,13 +244,18 @@ class YoloxModule:
             out_shardings=(batch_sharding(mesh), batch_sharding(mesh)),
         )
 
-    def apply_train(self, params: dict, x, collector: Optional[BNCollector]):
+    def apply_train(self, params: dict, x, collector: Optional[BNCollector],
+                    freeze_prefix: Optional[str] = None):
         """Train-mode forward (pure): head training outputs + BN updates.
 
         Used by the training step (`yolox_tpu/core/train_step.py`); loss and
         SimOTA assignment live in `yolox_tpu/models/assign.py`.
+        `freeze_prefix` runs BatchNorm under that parameter path in eval
+        mode (frozen modules use running stats; reference
+        `model_utils.py:148-150`).
         """
-        ctx = Ctx(train=True, collector=collector)
+        ctx = Ctx(train=True, collector=collector,
+                  eval_prefix=freeze_prefix)
         fpn_outs = self.backbone(params["backbone"], x, ctx, "backbone")
         return self.head.forward_train(params["head"], fpn_outs, ctx, "head")
 

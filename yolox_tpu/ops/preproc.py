@@ -36,6 +36,16 @@ def _resize_linear(img: np.ndarray, size_wh: Tuple[int, int]) -> np.ndarray:
         Image.fromarray(img).resize(size_wh, Image.BILINEAR))
 
 
+def letterbox_ratio(image_hw, target_hw) -> float:
+    """The canonical letterbox scale r = min(th/h, tw/w).
+
+    Single source of truth for every consumer that must invert the
+    letterbox (processor postprocess, evaluators) — the formula must match
+    `preproc` exactly or boxes skew.
+    """
+    return min(target_hw[0] / image_hw[0], target_hw[1] / image_hw[1])
+
+
 def preproc(img: np.ndarray, input_size, swap=None):
     """Letterbox an HWC uint8 image to `input_size` (h, w).
 
@@ -48,7 +58,7 @@ def preproc(img: np.ndarray, input_size, swap=None):
     else:
         padded_img = np.ones(input_size, dtype=np.uint8) * 114
 
-    r = min(input_size[0] / img.shape[0], input_size[1] / img.shape[1])
+    r = letterbox_ratio(img.shape[:2], input_size)
     resized_img = _resize_linear(
         img, (int(img.shape[1] * r), int(img.shape[0] * r))
     ).astype(np.uint8)

@@ -92,3 +92,15 @@ def latest_orbax_step(save_dir: str) -> Optional[int]:
     if not os.path.isdir(save_dir):
         return None
     return _manager(save_dir).latest_step()
+
+
+def best_orbax_step(save_dir: str) -> Optional[int]:
+    """Step of the best-AP checkpoint (the trainer records it in
+    best.json, since the best flag can arrive after the step's save)."""
+    path = os.path.join(save_dir, "best.json")
+    if not os.path.exists(path):
+        return None
+    import json
+
+    with open(path) as f:
+        return int(json.load(f)["step"])

@@ -121,13 +121,14 @@ class WandbLogger:
         `logger.py:390-423` analog), alias "best" when applicable."""
         if self._run is None or not self.log_checkpoints:
             return
-        path = os.path.join(save_dir, f"{model_name}_ckpt.npz")
+        # checkpoint.save_checkpoint writes '<model_name>_ckpt.pth'
+        path = os.path.join(save_dir, f"{model_name}_ckpt.pth")
         if not os.path.exists(path):
             return
         artifact = self._wandb.Artifact(
             name=f"run_{self._run.id}_model", type="model",
             metadata=metadata or {})
-        artifact.add_file(path, name="model_ckpt.npz")
+        artifact.add_file(path, name="model_ckpt.pth")
         aliases = ["latest", "best"] if is_best else ["latest"]
         self._run.log_artifact(artifact, aliases=aliases)
 
