@@ -1,0 +1,85 @@
+"""Worker for the multi-process distributed test.
+
+Launched as `python tests/multiprocess_worker.py <rank> <nprocs> <port>
+<outdir>` with XLA_FLAGS forcing 2 virtual CPU devices per process:
+initializes `jax.distributed`, runs ONE data-parallel training step over
+the global (nprocs x 2)-device mesh with the batch sharded across
+processes, does one host-object all-gather round, and writes its results
+as JSON for the parent test to compare against a single-process run of
+the identical mesh shape.
+
+Covers the `jax.process_count() > 1` code paths (mesh over
+non-addressable devices, make_array_from_process_local_data feeding,
+multihost object gather) that single-process tests cannot reach —
+executed-coverage analog of the reference's multi-node stack
+(`yolox/utils/dist.py:193-272`, `yolox/core/launch.py:99-145`).
+"""
+
+import json
+import pathlib
+import sys
+
+
+def main(rank: int, nprocs: int, port: int, outdir: str):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nprocs,
+        process_id=rank,
+    )
+    assert jax.process_count() == nprocs, jax.process_count()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolox_tpu import YoloxConfig, YoloxModule
+    from yolox_tpu.core import init_train_state, make_train_step
+    from yolox_tpu.parallel.mesh import (
+        all_gather_objects,
+        batch_sharding,
+        data_parallel_mesh,
+        replicate,
+    )
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    module = YoloxModule.from_config(cfg)          # seeded: same on all ranks
+    mesh = data_parallel_mesh()                    # all GLOBAL devices
+    n_dev = len(jax.devices())
+    state = replicate(mesh, init_train_state(module.params))
+    step = make_train_step(module, cfg.num_classes, mesh=mesh)
+
+    global_batch, size = 2 * n_dev, 64
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 255, (global_batch, size, size, 3)).astype(np.float32)
+    labels = np.zeros((global_batch, 10, 5), np.float32)
+    labels[:, 0] = [1, size / 2, size / 2, size / 3, size / 3]
+
+    # feed only this process's slice of the global batch
+    per = global_batch // nprocs
+    sh = batch_sharding(mesh)
+    gx = jax.make_array_from_process_local_data(
+        sh, x[rank * per:(rank + 1) * per], global_shape=x.shape)
+    gl = jax.make_array_from_process_local_data(
+        sh, labels[rank * per:(rank + 1) * per], global_shape=labels.shape)
+
+    state, metrics = step(state, gx, gl, jnp.float32(0.01))
+    losses = {k: float(np.asarray(v)) for k, v in metrics.items()}
+
+    gathered = all_gather_objects({"rank": rank, "tag": "x" * (rank + 3)})
+
+    out = {
+        "rank": rank,
+        "process_count": jax.process_count(),
+        "n_devices": n_dev,
+        "losses": losses,
+        "gathered": gathered,
+    }
+    path = pathlib.Path(outdir) / f"rank{rank}.json"
+    path.write_text(json.dumps(out))
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])

@@ -7,6 +7,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-long e2e lane
+
 
 @pytest.fixture()
 def cfg_module(coco_dir, tmp_path, monkeypatch):

@@ -30,6 +30,7 @@ def tiny_module():
     return YoloxModule.from_config(cfg), cfg
 
 
+@pytest.mark.slow
 def test_loss_decreases(tiny_module):
     from yolox_tpu.core import init_train_state, make_train_step
 
@@ -46,6 +47,7 @@ def test_loss_decreases(tiny_module):
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
 
+@pytest.mark.slow
 def test_distributed_matches_single_device(tiny_module):
     from yolox_tpu.core import init_train_state, make_train_step
     from yolox_tpu.parallel.mesh import (
@@ -195,6 +197,7 @@ def test_freeze_prefix_pins_params(tiny_module):
     assert any(k.startswith("head") for k in stats_changed)
 
 
+@pytest.mark.slow
 def test_bf16_train_step_runs_and_learns(tiny_module):
     """AMP path: f32 master weights, bf16 compute (--fp16 flag)."""
     from yolox_tpu.core import init_train_state, make_train_step
@@ -217,6 +220,7 @@ def test_bf16_train_step_runs_and_learns(tiny_module):
         if jnp.issubdtype(a.dtype, jnp.floating))
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat(tiny_module):
     """jax.checkpoint remat must not change the step's numerics."""
     from yolox_tpu.core import init_train_state, make_train_step

@@ -15,6 +15,8 @@ import pytest
 
 from yolox_tpu.config import YoloxConfig
 
+pytestmark = pytest.mark.slow  # minutes-long e2e lane
+
 
 class TinyConfig(YoloxConfig):
     """User-config-subclass path (module:ClassName surface)."""
