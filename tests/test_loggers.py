@@ -113,13 +113,26 @@ def test_mlflow_logger_noop_without_package(monkeypatch):
 
 @pytest.fixture()
 def fake_mlflow(monkeypatch):
-    calls = {"params": {}, "metrics": [], "artifacts": [], "ended": False}
+    calls = {"params": {}, "param_batches": [], "metrics": [],
+             "artifacts": [], "tags": {}, "start_kwargs": None,
+             "ended": False}
     mod = types.ModuleType("mlflow")
     mod.set_tracking_uri = lambda uri: calls.__setitem__("uri", uri)
     mod.set_experiment = lambda name: calls.__setitem__("experiment", name)
-    mod.start_run = lambda run_name=None: types.SimpleNamespace(
-        info=types.SimpleNamespace(run_id="r1"), run_name=run_name)
-    mod.log_params = lambda p: calls["params"].update(p)
+
+    def start_run(**kw):
+        calls["start_kwargs"] = kw
+        return types.SimpleNamespace(
+            info=types.SimpleNamespace(run_id="r1"), **kw)
+
+    mod.start_run = start_run
+    mod.set_tags = lambda t: calls["tags"].update(t)
+
+    def log_params(p):
+        calls["param_batches"].append(p)
+        calls["params"].update(p)
+
+    mod.log_params = log_params
     mod.log_metrics = lambda m, step=None: calls["metrics"].append((m, step))
     mod.log_artifact = lambda p: calls["artifacts"].append(p)
     mod.end_run = lambda: calls.__setitem__("ended", True)
@@ -131,6 +144,10 @@ def test_mlflow_logger_full_cycle(fake_mlflow, monkeypatch, tmp_path):
     monkeypatch.setenv("MLFLOW_TRACKING_URI", "file:///tmp/mlruns")
     monkeypatch.setenv("YOLOX_MLFLOW_EXPERIMENT_NAME", "exp1")
     monkeypatch.setenv("YOLOX_MLFLOW_LOG_MODEL_ARTIFACTS", "True")
+    monkeypatch.setenv("YOLOX_MLFLOW_LOG_MODEL_PER_n_EPOCHS", "3")
+    monkeypatch.setenv("YOLOX_MLFLOW_LOG_Nth_EPOCH_MODELS", "True")
+    monkeypatch.setenv("YOLOX_MLFLOW_RUN_NAME", "run7")
+    monkeypatch.setenv("MLFLOW_TAGS", '{"team": "cv", "stage": "dev"}')
     from yolox_tpu import YoloxConfig
     from yolox_tpu.utils.mlflow_logger import MlflowLogger
 
@@ -140,15 +157,63 @@ def test_mlflow_logger_full_cycle(fake_mlflow, monkeypatch, tmp_path):
     ml.setup(exp=cfg)
     assert fake_mlflow["uri"] == "file:///tmp/mlruns"
     assert fake_mlflow["experiment"] == "exp1"
-    assert fake_mlflow["params"]["num_classes"] == 80
+    assert fake_mlflow["start_kwargs"]["run_name"] == "run7"
+    assert fake_mlflow["tags"] == {"team": "cv", "stage": "dev"}
+    assert fake_mlflow["params"]["num_classes"] == "80"
+    # batched param logging (mlflow caps params per call)
+    assert all(len(b) <= 100 for b in fake_mlflow["param_batches"])
 
-    ml.on_log(None, cfg, 3, {"train/loss": 2.0})
+    ml.on_log(None, cfg, 3, {"train/loss": 2.0, "note": "skip-me"})
     assert fake_mlflow["metrics"][-1] == ({"train_loss": 2.0}, 3)
 
+    # artifact cadence: epoch 3 is on the n=3 cadence -> latest + history;
+    # best uploaded whenever the best flag fires
     (tmp_path / "latest_ckpt.pth").write_bytes(b"x")
+    (tmp_path / "epoch_3_ckpt.pth").write_bytes(b"x")
+    (tmp_path / "best_ckpt.pth").write_bytes(b"x")
     ml.save_checkpoints(None, cfg, str(tmp_path), 3, {}, False)
-    assert fake_mlflow["artifacts"]
+    assert str(tmp_path / "latest_ckpt.pth") in fake_mlflow["artifacts"]
+    assert str(tmp_path / "epoch_3_ckpt.pth") in fake_mlflow["artifacts"]
+    n_before = len(fake_mlflow["artifacts"])
+    ml.save_checkpoints(None, cfg, str(tmp_path), 4, {}, True)  # off-cadence
+    assert fake_mlflow["artifacts"][n_before:] == [
+        str(tmp_path / "best_ckpt.pth")]
 
-    ml.on_train_end(None, metadata={"best_ap": 0.1})
+    ml.on_train_end(None, file_name=str(tmp_path),
+                    metadata={"best_ap": 0.1})
     assert fake_mlflow["ended"]
     assert fake_mlflow["params"]["final_best_ap"] == "0.1"
+
+
+def test_mlflow_flatten_and_resume(fake_mlflow, monkeypatch):
+    monkeypatch.setenv("YOLOX_MLFLOW_FLATTEN_PARAMS", "True")
+    monkeypatch.setenv("MLFLOW_RUN_ID", "prev-run")
+    monkeypatch.setenv("MLFLOW_NESTED_RUN", "True")
+    from yolox_tpu.utils.mlflow_logger import MlflowLogger
+
+    ml = MlflowLogger()
+    ml.setup(exp=types.SimpleNamespace(name="x", opts={"a": {"b": 2}}))
+    assert fake_mlflow["start_kwargs"]["run_id"] == "prev-run"
+    assert fake_mlflow["start_kwargs"]["nested"] is True
+    assert fake_mlflow["params"]["opts.a.b"] == "2"
+
+
+def test_setup_logger_captures_prints(tmp_path):
+    """capture_std routes raw prints into the log file (the reference
+    redirects stdout/stderr so pycocotools chatter is logged)."""
+    import sys
+
+    from yolox_tpu.utils.logger import restore_sys_output, setup_logger
+
+    orig_out, orig_err = sys.stdout, sys.stderr
+    try:
+        setup_logger(str(tmp_path), rank=0, filename="log.txt",
+                     capture_std=True)
+        print("hello-from-print")
+        sys.stdout.flush()
+    finally:
+        restore_sys_output()
+        setup_logger(rank=1)  # detach the file handler
+    assert sys.stdout is orig_out and sys.stderr is orig_err
+    text = (tmp_path / "log.txt").read_text()
+    assert "hello-from-print" in text

@@ -107,8 +107,13 @@ def main(argv=None) -> int:
         args.name = config.name
 
     setup_logger(os.path.join(config.output_dir, args.name),
-                 filename="eval_log.txt")
-    run_eval(config, args)
+                 filename="eval_log.txt", capture_std=True)
+    try:
+        run_eval(config, args)
+    finally:
+        from yolox_tpu.utils.logger import restore_sys_output
+
+        restore_sys_output()
     return 0
 
 

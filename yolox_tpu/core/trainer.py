@@ -58,8 +58,11 @@ class Trainer:
             or config.name)
         if self.rank == 0:
             os.makedirs(self.file_name, exist_ok=True)
+        # capture_std: raw prints (third-party chatter) become log records
+        # in train_log.txt, as in the reference (`logger.py:32-78`);
+        # after_train restores the real streams
         setup_logger(self.file_name, rank=self.rank,
-                     filename="train_log.txt", mode="a")
+                     filename="train_log.txt", mode="a", capture_std=True)
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -283,6 +286,9 @@ class Trainer:
         logger.info("Training start...")
 
     def after_train(self):
+        from yolox_tpu.utils.logger import restore_sys_output
+
+        restore_sys_output()
         logger.info("Training of experiment is done and the best AP is "
                     f"{self.best_ap * 100:.2f}")
         if getattr(self, "_profiling", False):
@@ -296,6 +302,10 @@ class Trainer:
             wait_orbax(os.path.join(self.file_name, "orbax"))
         if self.tblogger is not None:
             self.tblogger.close()
+        if getattr(self, "mlflow_logger", None):
+            self.mlflow_logger.on_train_end(
+                self.args, file_name=self.file_name,
+                metadata={"best_ap": round(float(self.best_ap), 5)})
         if getattr(self, "wandb_logger", None):
             self.wandb_logger.finish()
         if getattr(self, "train_loader", None) is not None:
