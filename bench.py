@@ -1,98 +1,246 @@
 #!/usr/bin/env python
-"""Benchmark: yolox-s batched 640px inference throughput on one TPU chip.
+"""Benchmark harness: every README performance row is regenerable here.
 
-Prints ONE JSON line:
+Default invocation (`python bench.py`, what the driver runs) prints the
+headline: yolox-s batched 640px serving throughput on one TPU chip, ONE
+JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-Baseline: the reference's published V100 latency for yolox-s is 9.8 ms
-batch-1 fp16 including NMS (docs/model_zoo.md:7) = 102 images/sec/chip.
-vs_baseline is ours / 102. (BASELINE.json's stated target is >2x
-torch-on-A100 batched; no A100 number is published in the reference, so the
-V100 figure is the recorded anchor.)
+Matrix coverage (one JSON line per invocation):
+  python bench.py --model s|m|l|x|nano|tiny --mode serve      [--batch N]
+  python bench.py --model s --mode serve-b1                   # ms/image
+  python bench.py --model s --mode fwd                        # fwd only
+  python bench.py --model s|l|x --mode train [--remat]        # train step
+  python bench.py --model s --mode train-aug                  # + on-device
+                                                              #   augmentation
 
-Methodology: the measured region is a single jitted graph that runs
-`iters` serving steps in a lax.fori_loop, each step's input perturbed by the
+Baseline: the reference publishes V100 batch-1 fp16 latency incl. NMS
+(docs/model_zoo.md: s 9.8 ms, m 12.3, l 14.5, x 17.3). vs_baseline for the
+serve modes is ours vs that anchor (images/sec ratio, or latency ratio for
+serve-b1); train/fwd modes have no published reference number -> null.
+
+Methodology (serve/fwd): the measured region is a single jitted graph that
+runs `iters` steps in a lax.fori_loop, each step's input perturbed by the
 loop counter (prevents XLA from hoisting loop-invariant work) and each
 step's result folded into a scalar checksum (prevents dead-code elimination
 and forces sequential execution). One scalar is fetched at the end. This is
 robust to the async-dispatch/`block_until_ready` unreliability of tunneled
 TPU attachments, where wall-clocking per-call dispatch is meaningless.
 
-The serving step is the full path: NHWC forward (bf16 weights &
-activations, f32 decode) + on-device confidence filter + class-aware NMS.
+Methodology (train modes): the training step donates its state, so chained
+host dispatches are sequentially dependent; the loss fetch after `iters`
+steps is the completion barrier.
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
+# reference V100 anchors, images/sec = 1000 / published ms
+# (docs/model_zoo.md:7-10, batch-1 fp16 incl. NMS)
+V100_MS = {"s": 9.8, "m": 12.3, "l": 14.5, "x": 17.3}
 
-def build_serve(module, cfg, max_det=256):
-    def serve(p, x):
-        # fused path: bf16 forward + top-k select + f32 candidate decode
-        # + fixpoint NMS, one XLA program (yolox_tpu/ops/nms.py)
-        return module.serve(p, x, conf_thre=0.5, nms_thre=cfg.nmsthre,
-                            class_agnostic=False, max_det=max_det)
-
-    return serve
+SERVE_BATCH = {"nano": 256, "tiny": 256, "s": 256, "m": 128, "l": 64,
+               "x": 32}
+TRAIN_BATCH = {"nano": 64, "tiny": 64, "s": 64, "m": 48, "l": 32, "x": 16}
 
 
-def timed_loop(serve, params, x, iters):
-    """Returns a jitted fn running `iters` sequential serving steps."""
+def _model(name, dtype):
+    from yolox_tpu import YoloxConfig, YoloxModule
+
+    cfg = YoloxConfig.get_named_config(f"yolox_{name}")
+    return YoloxModule.from_config(cfg, dtype=dtype), cfg
+
+
+def _timed_loop(step_fn, params, x, iters, checksum_of):
+    """Jitted graph of `iters` sequential steps; see module docstring."""
     import jax
     import jax.numpy as jnp
 
     def run(p, x0):
-        def body(i, carry):
-            checksum, _ = carry
+        def body(i, checksum):
             xi = x0 + checksum * 1e-12 + jnp.float32(i) * 1e-6
-            dets, valid = serve(p, xi)
-            checksum = jnp.sum(dets[:, 0, 0]) + checksum * 0.5
-            return (checksum, jnp.sum(valid))
+            out = step_fn(p, xi)
+            return checksum_of(out) + checksum * 0.5
 
-        return jax.lax.fori_loop(
-            0, iters, body, (jnp.float32(0), jnp.int32(0)))
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     return jax.jit(run)
 
 
-def main():
+def _best_of(fn, repeats=3):
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _toy_labels(batch, size, n=10):
+    labels = np.zeros((batch, n, 5), np.float32)
+    labels[:, 0] = [1, size / 2, size / 2, size / 3, size / 3]
+    labels[:, 1] = [5, size / 4, size / 4, size / 4, size / 5]
+    return labels
+
+
+def bench_serve(name, batch, iters, batch1=False):
+    import jax.numpy as jnp
+
+    module, cfg = _model(name, jnp.bfloat16)
+    size = cfg.test_size[0]
+    if batch1:
+        batch, iters = 1, max(iters, 30)
+
+    def serve(p, x):
+        return module.serve(p, x, conf_thre=0.5, nms_thre=cfg.nmsthre,
+                            class_agnostic=False, max_det=256)
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 255, (batch, size, size, 3)), jnp.float32)
+    run = _timed_loop(serve, module.params, x, iters,
+                      lambda out: jnp.sum(out[0][:, 0, 0]))
+    np.asarray(run(module.params, x))          # compile + warmup
+    dt = _best_of(lambda: np.asarray(run(module.params, x)))
+
+    anchor = V100_MS.get(name)
+    if batch1:
+        ms = 1000 * dt / iters
+        return {
+            "metric": f"yolox_{name} {size}px batch-1 serving latency "
+                      "incl. NMS (bf16)",
+            "value": round(ms, 3),
+            "unit": "ms/image",
+            "vs_baseline": round(anchor / ms, 3) if anchor else None,
+        }
+    ips = batch * iters / dt
+    return {
+        "metric": f"yolox_{name} {size}px batched serving incl. NMS "
+                  f"(bf16, batch {batch})",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": (round(ips / (1000 / anchor), 3) if anchor
+                        else None),
+    }
+
+
+def bench_fwd(name, batch, iters):
+    import jax.numpy as jnp
+
+    module, cfg = _model(name, jnp.bfloat16)
+    size = cfg.test_size[0]
+
+    def fwd(p, x):
+        fpn = module.backbone(p["backbone"], x.astype(jnp.bfloat16))
+        return module.head(p["head"], fpn)
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 255, (batch, size, size, 3)), jnp.float32)
+    run = _timed_loop(fwd, module.params, x, iters,
+                      lambda out: jnp.sum(out[:, 0, :4].astype(jnp.float32)))
+    np.asarray(run(module.params, x))
+    dt = _best_of(lambda: np.asarray(run(module.params, x)))
+    return {
+        "metric": f"yolox_{name} {size}px forward only "
+                  f"(bf16, batch {batch})",
+        "value": round(batch * iters / dt, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+    }
+
+
+def bench_train(name, batch, iters, remat=False, device_aug=False):
     import jax
     import jax.numpy as jnp
 
-    from yolox_tpu import YoloxConfig, YoloxModule
+    from yolox_tpu.core import init_train_state, make_train_step
 
-    cfg = YoloxConfig.get_named_config("yolox_s")
-    module = YoloxModule.from_config(cfg, dtype=jnp.bfloat16)
-    params = module.params
+    module, cfg = _model(name, jnp.float32)   # f32 master weights
+    size = cfg.input_size[0]
+    step = make_train_step(module, cfg.num_classes,
+                           compute_dtype=jnp.bfloat16, remat=remat)
+    state = init_train_state(module.params)
+    rng = np.random.default_rng(0)
+    lr = jnp.float32(0.01)
 
-    batch = 256
-    iters = 6
-    x = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 255, (batch, 640, 640, 3)),
-        jnp.float32)
+    if device_aug:
+        from yolox_tpu.data.device_augment import device_augment_batch
 
-    serve = build_serve(module, cfg)
-    run = timed_loop(serve, params, x, iters)
+        tiles = jnp.asarray(rng.integers(
+            0, 255, (batch, 5, size, size, 3), dtype=np.uint8))
+        hw = jnp.full((batch, 5, 2), float(size), jnp.float32)
+        raw_labels = jnp.asarray(
+            np.tile(_toy_labels(batch, size, 8)[:, None], (1, 5, 1, 1)))
+        key = jax.random.PRNGKey(0)
 
-    # Warmup / compile (scalar fetch = true completion barrier).
-    np.asarray(run(params, x)[0])
+        def one_iter(state, i):
+            imgs, labels = device_augment_batch(
+                tiles, hw, raw_labels, jax.random.fold_in(key, i),
+                out_size=(size, size))
+            return step(state, imgs, labels, lr)
+    else:
+        x = jnp.asarray(rng.uniform(0, 255, (batch, size, size, 3)),
+                        jnp.float32)
+        labels = jnp.asarray(_toy_labels(batch, size))
 
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        checksum = np.asarray(run(params, x)[0])
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        def one_iter(state, i):
+            return step(state, x + jnp.float32(i) * 1e-6, labels, lr)
 
-    ips = batch * iters / best_dt
-    baseline = 102.0  # V100 batch-1 fp16 incl NMS (docs/model_zoo.md:7)
-    print(json.dumps({
-        "metric": "yolox_s 640px batched inference incl. NMS (bf16)",
-        "value": round(ips, 2),
+    state, m = one_iter(state, 0)              # compile + warmup
+    float(np.asarray(m["total_loss"]))
+
+    def run():
+        nonlocal state
+        for i in range(iters):
+            state, m = one_iter(state, i + 1)
+        assert np.isfinite(float(np.asarray(m["total_loss"])))
+
+    dt = _best_of(run, repeats=2)
+    tag = " incl. on-device augmentation" if device_aug else ""
+    tag += ", remat" if remat else ""
+    return {
+        "metric": f"yolox_{name} {size}px training step{tag} "
+                  f"(bf16, batch {batch})",
+        "value": round(batch * iters / dt, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / baseline, 3),
-    }))
+        "vs_baseline": None,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="s",
+                    choices=["nano", "tiny", "s", "m", "l", "x"])
+    ap.add_argument("--mode", default="serve",
+                    choices=["serve", "serve-b1", "fwd", "train",
+                             "train-aug"])
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
+
+    if args.mode == "serve":
+        out = bench_serve(args.model,
+                          args.batch or SERVE_BATCH[args.model], args.iters)
+        if args.model == "s" and args.batch is None:
+            # keep the driver headline metric name stable
+            out["metric"] = "yolox_s 640px batched inference incl. NMS (bf16)"
+    elif args.mode == "serve-b1":
+        out = bench_serve(args.model, 1, args.iters, batch1=True)
+    elif args.mode == "fwd":
+        out = bench_fwd(args.model,
+                        args.batch or SERVE_BATCH[args.model], args.iters)
+    elif args.mode == "train":
+        out = bench_train(args.model,
+                          args.batch or TRAIN_BATCH[args.model],
+                          args.iters, remat=args.remat)
+    else:
+        out = bench_train(args.model,
+                          args.batch or TRAIN_BATCH[args.model],
+                          args.iters, device_aug=True)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
