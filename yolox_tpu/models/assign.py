@@ -214,9 +214,14 @@ def compute_losses(
     dict the reference trainer logs: total_loss, iou_loss, l1_loss,
     conf_loss, cls_loss, num_fg (fg-per-gt ratio).
 
-    The cls/IoU/L1 terms are summed in compacted candidate space (they are
-    identically zero off-candidate since fg implies candidate); only the
-    objectness BCE runs over all anchors, as in the reference.
+    The cls/IoU/L1 terms are summed DENSELY over all A anchors, masked by
+    fg (they are identically zero off-fg, so the sum equals the
+    reference's fg-gathered sum). Dense beats gathered on TPU: the
+    backward of a candidate gather is a scatter-add into (B, A, C) —
+    measured 7 ms/step of kCustom scatter fusions on a yolox-s b64 step —
+    while the dense formulation's backward is elementwise and fuses into
+    the head's existing (B, A, C) pipelines. The only gathers left index
+    the tiny (B, M) gt tensors with the stop_gradient'ed assignment.
     """
     outputs = head_out["outputs"].astype(jnp.float32)   # (B, A, 5+C)
     bbox_preds = outputs[..., :4]
@@ -233,56 +238,51 @@ def compute_losses(
     )(labels.astype(jnp.float32), bbox_preds, obj_logits, cls_logits)
 
     fg_f = assign["fg_mask"].astype(jnp.float32)         # (B, A)
+    matched_gt = assign["matched_gt"]                    # (B, A)
     num_fg_total = jnp.maximum(jnp.sum(assign["num_fg"]), 1.0)
     num_gts_total = jnp.maximum(jnp.sum(assign["num_gt"]), 1.0)
 
     gt_boxes = labels[..., 1:5].astype(jnp.float32)      # (B, M, 4)
     gt_cls = labels[..., 0].astype(jnp.int32)            # (B, M)
 
-    # candidate-space views
-    cand_idx = assign["cand_idx"]                        # (B, N)
-    fg_c = assign["fg_cand"].astype(jnp.float32)         # (B, N)
-    matched_gt_c = assign["matched_gt_cand"]             # (B, N)
-    preds_c = jnp.take_along_axis(
-        bbox_preds, cand_idx[..., None], axis=1)         # (B, N, 4)
-    cls_logits_c = jnp.take_along_axis(
-        cls_logits, cand_idx[..., None], axis=1)         # (B, N, C)
-    reg_target = jnp.take_along_axis(
-        gt_boxes, matched_gt_c[..., None], axis=1)       # (B, N, 4)
-    matched_cls = jnp.take_along_axis(gt_cls, matched_gt_c, axis=1)  # (B, N)
+    # gt lookups as one-hot matmuls, not take_along_axis: a per-anchor
+    # gather from the tiny (B, M) gt tables runs on the TPU scalar core
+    # (measured 7.7 ms/step); an (A, M) x (M, k) einsum rides the MXU and
+    # is exact (one-hot rows select a single f32 value, no rounding).
+    onehot_gt = jax.nn.one_hot(matched_gt, gt_cls.shape[1],
+                               dtype=jnp.float32)        # (B, A, M)
+    reg_target = jnp.einsum(
+        'bam,bmk->bak', onehot_gt, gt_boxes)             # (B, A, 4)
+    onehot_gtcls = jax.nn.one_hot(
+        gt_cls, num_classes, dtype=jnp.float32)          # (B, M, C)
     cls_target = (
-        jax.nn.one_hot(matched_cls, num_classes, dtype=jnp.float32)
-        * assign["matched_iou_cand"][..., None]
-    )
+        jnp.einsum('bam,bmc->bac', onehot_gt, onehot_gtcls)
+        * assign["matched_iou"][..., None]
+    )                                                    # (B, A, C)
 
     loss_iou = jnp.sum(
-        iou_loss(preds_c, reg_target) * fg_c) / num_fg_total
+        iou_loss(bbox_preds, reg_target) * fg_f) / num_fg_total
     loss_obj = jnp.sum(
         bce_with_logits(obj_logits, fg_f)) / num_fg_total
     loss_cls = jnp.sum(
-        jnp.sum(bce_with_logits(cls_logits_c, cls_target), axis=-1) * fg_c
+        jnp.sum(bce_with_logits(cls_logits, cls_target), axis=-1) * fg_f
     ) / num_fg_total
 
     if use_l1:
         # grid-space L1 target (`yolo_head.py:413-418`)
         eps = 1e-8
-        xs_c = jnp.take(x_shifts, cand_idx)              # (B, N)
-        ys_c = jnp.take(y_shifts, cand_idx)
-        st_c = jnp.take(strides, cand_idx)
         l1_target = jnp.stack(
             [
-                reg_target[..., 0] / st_c - xs_c,
-                reg_target[..., 1] / st_c - ys_c,
-                jnp.log(reg_target[..., 2] / st_c + eps),
-                jnp.log(reg_target[..., 3] / st_c + eps),
+                reg_target[..., 0] / strides - x_shifts,
+                reg_target[..., 1] / strides - y_shifts,
+                jnp.log(reg_target[..., 2] / strides + eps),
+                jnp.log(reg_target[..., 3] / strides + eps),
             ],
             axis=-1,
         )
-        origin_reg_c = jnp.take_along_axis(
-            head_out["origin_reg"].astype(jnp.float32),
-            cand_idx[..., None], axis=1)
+        origin_reg = head_out["origin_reg"].astype(jnp.float32)
         loss_l1 = jnp.sum(
-            jnp.sum(jnp.abs(origin_reg_c - l1_target), axis=-1) * fg_c
+            jnp.sum(jnp.abs(origin_reg - l1_target), axis=-1) * fg_f
         ) / num_fg_total
     else:
         loss_l1 = jnp.float32(0.0)
@@ -299,5 +299,6 @@ def compute_losses(
         # fraction of images whose candidate set overflowed the compaction
         # cap (assignment deviates from the reference only when > 0)
         "cand_overflow": jnp.mean(
-            (assign["num_cand"] > cand_idx.shape[-1]).astype(jnp.float32)),
+            (assign["num_cand"]
+             > assign["cand_idx"].shape[-1]).astype(jnp.float32)),
     }

@@ -143,10 +143,16 @@ def batch_norm(p: Params, x, ctx: Ctx, path: str):
     if ctx.train and not frozen:
         # Normalize with biased batch statistics (torch train mode).
         # Stats in f32 regardless of compute dtype (torch autocast runs
-        # batch_norm in f32).
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        var = jnp.var(x32, axis=(0, 1, 2))
+        # batch_norm in f32) — but WITHOUT materializing an f32 copy of
+        # the activation: `x.astype(f32)` with two reduce consumers makes
+        # XLA write the converted tensor to HBM (measured ~16 GB/step of
+        # the yolox-s b64 train step's traffic). Keeping each convert
+        # chain single-consumer fuses it into its reduce, so both stat
+        # passes read the bf16 tensor directly with f32 accumulation —
+        # same two-pass mean/E[(x-mean)^2] formulas, same numerics.
+        mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
+        diff = x.astype(jnp.float32) - mean
+        var = jnp.mean(diff * diff, axis=(0, 1, 2))
         if ctx.collector is not None:
             n = x.shape[0] * x.shape[1] * x.shape[2]
             unbiased = var * (n / max(n - 1, 1))
@@ -300,11 +306,24 @@ class ResLayer(Module):
 
 
 class SPPBottleneck(Module):
-    """Spatial pyramid pooling, kernels (5, 9, 13) (`network_blocks.py:120-142`)."""
+    """Spatial pyramid pooling, kernels (5, 9, 13) (`network_blocks.py:120-142`).
+
+    TPU-first execution: when the kernel set is an arithmetic chain
+    k, 2k-1, 3k-2, ... (the default (5, 9, 13) is), the pools are computed
+    as a CASCADE of k-pools (the SPPF identity): pool9 = pool5(pool5),
+    pool13 = pool5(pool5(pool5)). Bit-exact for max (same effective window,
+    -inf padding is neutral), but each window is 25 taps instead of up to
+    169, and — the real win — the backward lowers to three cheap k=5
+    `select_and_scatter`s instead of one k=13: measured 19.6 ms/step of
+    select_and_scatter on a yolox-s b64 train step before, ~6 ms after.
+    """
 
     def __init__(self, cin, cout, kernel_sizes=(5, 9, 13), activation="silu"):
         hidden = cin // 2
         self.kernel_sizes = kernel_sizes
+        k0 = kernel_sizes[0]
+        self.cascade = all(
+            ks == k0 + i * (k0 - 1) for i, ks in enumerate(kernel_sizes))
         self.conv1 = BaseConv(cin, hidden, 1, 1, act=activation)
         self.conv2 = BaseConv(hidden * (len(kernel_sizes) + 1), cout, 1, 1,
                               act=activation)
@@ -314,7 +333,13 @@ class SPPBottleneck(Module):
 
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
         x = self.conv1(p["conv1"], x, ctx, f"{path}.conv1")
-        pools = [max_pool_same(x, ks) for ks in self.kernel_sizes]
+        if self.cascade:
+            pools, y = [], x
+            for _ in self.kernel_sizes:
+                y = max_pool_same(y, self.kernel_sizes[0])
+                pools.append(y)
+        else:
+            pools = [max_pool_same(x, ks) for ks in self.kernel_sizes]
         x = jnp.concatenate([x] + pools, axis=-1)
         return self.conv2(p["conv2"], x, ctx, f"{path}.conv2")
 

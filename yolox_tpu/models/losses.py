@@ -13,28 +13,36 @@ def iou_loss(pred, target, loss_type: str = "iou", eps: float = 1e-7):
 
     loss_type "iou": 1 - iou^2;  "giou": 1 - clamp(giou, -1, 1).
     Returns per-pair loss (no reduction).
+
+    The math runs on per-coordinate (..., ) arrays rather than (..., 2) /
+    (..., 4) stacks: a 2- or 4-wide minor dim occupies 2/128 TPU lanes,
+    and the stacked form showed up as multi-ms fusions in the train-step
+    trace. Unpacking makes the (large) anchor axis minor and fully tiled.
     """
-    tl = jnp.maximum(pred[..., :2] - pred[..., 2:4] / 2,
-                     target[..., :2] - target[..., 2:4] / 2)
-    br = jnp.minimum(pred[..., :2] + pred[..., 2:4] / 2,
-                     target[..., :2] + target[..., 2:4] / 2)
+    px, py, pw, ph = (pred[..., i] for i in range(4))
+    tx, ty, tw, th = (target[..., i] for i in range(4))
 
-    area_p = jnp.prod(pred[..., 2:4], axis=-1)
-    area_g = jnp.prod(target[..., 2:4], axis=-1)
+    tl_x = jnp.maximum(px - pw / 2, tx - tw / 2)
+    tl_y = jnp.maximum(py - ph / 2, ty - th / 2)
+    br_x = jnp.minimum(px + pw / 2, tx + tw / 2)
+    br_y = jnp.minimum(py + ph / 2, ty + th / 2)
 
-    en = jnp.all(tl < br, axis=-1).astype(tl.dtype)
-    area_i = jnp.prod(br - tl, axis=-1) * en
+    area_p = pw * ph
+    area_g = tw * th
+
+    en = ((tl_x < br_x) & (tl_y < br_y)).astype(pred.dtype)
+    area_i = (br_x - tl_x) * (br_y - tl_y) * en
     area_u = area_p + area_g - area_i
     iou = area_i / (area_u + eps)
 
     if loss_type == "iou":
         return 1 - iou ** 2
     elif loss_type == "giou":
-        c_tl = jnp.minimum(pred[..., :2] - pred[..., 2:4] / 2,
-                           target[..., :2] - target[..., 2:4] / 2)
-        c_br = jnp.maximum(pred[..., :2] + pred[..., 2:4] / 2,
-                           target[..., :2] + target[..., 2:4] / 2)
-        area_c = jnp.prod(c_br - c_tl, axis=-1)
+        c_w = (jnp.maximum(px + pw / 2, tx + tw / 2)
+               - jnp.minimum(px - pw / 2, tx - tw / 2))
+        c_h = (jnp.maximum(py + ph / 2, ty + th / 2)
+               - jnp.minimum(py - ph / 2, ty - th / 2))
+        area_c = c_w * c_h
         giou = iou - (area_c - area_u) / jnp.clip(area_c, min=eps)
         return 1 - jnp.clip(giou, -1.0, 1.0)
     raise ValueError(f"unknown loss_type: {loss_type}")
