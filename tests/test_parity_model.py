@@ -158,3 +158,31 @@ def test_param_census_matches_torch():
     module = YoloxModule.from_config(YoloxConfig.get_named_config("yolox_s"))
     ours = param_census(module.params)
     assert ours == ref_census
+
+
+def test_spp_cascade_identity():
+    """The SPPF cascade (pool9 = pool5 o pool5, pool13 = pool5^3) must be
+    bit-exact vs the reference's independent 9x9/13x13 pools, including at
+    image borders where -inf padding composes (`network_blocks.py:120-142`
+    uses independent pools; blocks.SPPBottleneck cascades them)."""
+    import jax.numpy as jnp
+
+    from yolox_tpu.models.blocks import max_pool_same
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 17, 23, 8)).astype(np.float32))
+    p5 = max_pool_same(x, 5)
+    p9 = max_pool_same(p5, 5)
+    p13 = max_pool_same(p9, 5)
+    assert bool(jnp.all(p9 == max_pool_same(x, 9)))
+    assert bool(jnp.all(p13 == max_pool_same(x, 13)))
+
+
+def test_spp_non_chain_kernels_fall_back():
+    """Kernel sets that are not an arithmetic chain keep independent
+    pools (cascade flag off)."""
+    from yolox_tpu.models.blocks import SPPBottleneck
+
+    assert SPPBottleneck(64, 64).cascade
+    assert SPPBottleneck(64, 64, kernel_sizes=(3, 5, 7)).cascade
+    assert not SPPBottleneck(64, 64, kernel_sizes=(5, 9, 11)).cascade

@@ -5,6 +5,7 @@ Pure jnp functions over matched (pred, target) pairs in cxcywh format.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -48,7 +49,21 @@ def iou_loss(pred, target, loss_type: str = "iou", eps: float = 1e-7):
     raise ValueError(f"unknown loss_type: {loss_type}")
 
 
+@jax.custom_jvp
 def bce_with_logits(logits, targets):
     """BCEWithLogitsLoss(reduction='none'), numerically stable."""
     return (jnp.maximum(logits, 0) - logits * targets
             + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+@bce_with_logits.defjvp
+def _bce_with_logits_jvp(primals, tangents):
+    # closed-form gradient: d/dlogits = sigmoid(logits) - targets,
+    # d/dtargets = -logits. Autodiff of the stable 3-term primal instead
+    # materializes several full-size intermediates in the backward
+    # (measured ~4 GB/step over the (B, 8400, C) loss tensors).
+    logits, targets = primals
+    dl, dt = tangents
+    out = bce_with_logits(logits, targets)
+    grad_l = jax.nn.sigmoid(logits) - targets
+    return out, grad_l * dl + (-logits) * dt
