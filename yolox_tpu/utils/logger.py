@@ -43,6 +43,14 @@ class _StreamToLogger:
     def isatty(self):
         return False
 
+    def writable(self):
+        return True
+
+    def close(self):
+        # file-like protocol completeness: pytest/interpreter teardown may
+        # close() whatever sits in sys.stdout — flush, never raise
+        self.flush()
+
 
 _saved_streams = {}
 
