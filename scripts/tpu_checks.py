@@ -50,18 +50,33 @@ def check_pallas_shear():
     from yolox_tpu.ops.pallas_warp import shear_x, shear_x_reference
 
     rng = np.random.default_rng(1)
-    for (b, h, w, out, px) in [(2, 1152, 1152, 640, 3), (4, 640, 1152, 640, 3),
+    for (b, h, w, out, px) in [(2, 1024, 1024, 640, 3), (4, 640, 1024, 640, 3),
                                (1, 8, 256, 128, 1), (1, 16, 2048, 640, 1),
                                (2, 128, 1024, 640, 3)]:
         img = jnp.asarray(
             rng.uniform(0, 255, (b, h, w * px)).astype(np.float32))
-        shifts = jnp.asarray(
-            rng.uniform(0.0, w - out - 2, (b, h)).astype(np.float32))
+        # affine-form shifts (shear_x's contract: integer shifts span
+        # <= _MAX_DK inside each 8-row group — slope-bounded, as the
+        # warp engine produces); random base per image, random slope up
+        # to 0.42/row of either sign, clipped to the legal range
+        base = rng.uniform(0.0, w - out - 2, (b, 1))
+        slope = rng.uniform(-0.42, 0.42, (b, 1))
+        rows = np.arange(h, dtype=np.float32)[None, :]
+        shifts = jnp.asarray(np.clip(
+            base + slope * rows, 0.0, w - out - 2).astype(np.float32))
         a = np.asarray(shear_x(img, shifts, out, px=px))
         ref = np.asarray(shear_x_reference(img, shifts, out, px=px))
         err = np.abs(a - ref).max()
         assert err < 1e-2, (b, h, w, px, err)
-    print("pallas shear == scan reference (widths 256..2048, px 1/3): OK")
+        # bf16 window path (dynamic_rotate on packed bf16 tiles — guard
+        # against silent corruption like the non-pow-2 lane-width bug)
+        a16 = np.asarray(
+            shear_x(img.astype(jnp.bfloat16), shifts, out, px=px)
+        ).astype(np.float32)
+        err16 = np.abs(a16 - ref).max()
+        assert err16 < 2.0, (b, h, w, px, "bf16", err16)
+    print("pallas shear == scan reference (widths 256..2048, px 1/3, "
+          "f32+bf16): OK")
 
 
 def check_fused_serving():

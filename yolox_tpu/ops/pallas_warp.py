@@ -27,6 +27,7 @@ which the augmentation ranges guarantee.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Tuple
 
@@ -36,7 +37,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 PAD = 114.0
-MARGIN = 256  # shear slack; |shear slope| * (S + MARGIN) must fit
+
+
+def default_margin(s: int) -> int:
+    """Shear slack: the decomposed passes need
+    |slope| * (S + margin) <= margin, i.e. margin >= slope*S/(1-slope).
+    Sized for slope 0.22 (~12.5 deg combined rotation+shear — above the
+    config maximum degrees=10 + shear=2), rounded to 64 for lane-friendly
+    working widths. 640px -> 192 (working grid 1024, was a fixed 256 ->
+    1152: 27% less pass-1/transpose work)."""
+    need = 0.22 * s / 0.78
+    return max(128, int(math.ceil(need / 64.0)) * 64)
+
+
+MARGIN = 256  # legacy fixed slack (callers now default to default_margin)
 
 
 def ldu_decompose(minv):
@@ -73,7 +87,9 @@ def _hat(centers, coords):
 
 
 def scale_resample_tiles(tiles, tile_hw, offsets, xs, ys, canvas_hw,
-                         border=PAD, zero_outside_canvas=False):
+                         border=PAD, zero_outside_canvas=False,
+                         transposed_out=False, compute_dtype=jnp.float32,
+                         out_dtype=jnp.float32):
     """h1[r, s, c] = canvas(xs[s], ys[r]) for a virtual canvas of size
     canvas_hw holding `tiles` pasted at integer `offsets`, border-filled
     with `border` (cv2 BORDER_CONSTANT both outside tiles and outside the
@@ -82,39 +98,60 @@ def scale_resample_tiles(tiles, tile_hw, offsets, xs, ys, canvas_hw,
 
     tiles: (N, T, T, 3) uint8/float; tile_hw (N, 2) true sizes;
     offsets (N, 2) [ox, oy] float (integer-valued); xs (W,), ys (R,)
-    float canvas sample coords. Returns (R, W, 3) f32.
+    float canvas sample coords. Returns (R, W, 3) f32 — or (W, R, 3)
+    with transposed_out (emitted directly from the contraction, so the
+    consumer's transpose costs no extra HBM pass).
+
+    compute_dtype=bf16 runs the interpolation matmuls at the MXU's
+    native rate with f32 accumulation: pixel values 0..255 are exact in
+    bf16, the bilinear weights round to ~2^-9 relative, so outputs move
+    by O(1) pixel LSB — fine for augmentation, not for letterbox-exact
+    eval preprocessing (which uses ops/preproc.py, not this).
     """
     ch, cw = canvas_hw
-    t = tiles.shape[1]
+    n, t = tiles.shape[0], tiles.shape[1]
     ty_idx = jnp.arange(t, dtype=jnp.float32)
 
-    def tile_term(tile, hw, off):
+    def tile_weights(hw, off):
         ycv = off[1] + ty_idx                       # (T,) canvas y coords
         xcv = off[0] + ty_idx
         in_tile_y = ty_idx < hw[0]
         in_tile_x = ty_idx < hw[1]
         ay = _hat(ys, ycv) * (in_tile_y & (ycv >= 0) & (ycv < ch))[None, :]
         ax = _hat(xs, xcv) * (in_tile_x & (xcv >= 0) & (xcv < cw))[None, :]
-        tmp = jnp.einsum("ry,yxc->rxc", ay, tile.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
-        term = jnp.einsum("rxc,sx->rsc", tmp, ax,
-                          preferred_element_type=jnp.float32)
-        cov = jnp.outer(ay.sum(1), ax.sum(1))
-        return term, cov
+        return ay, ax
 
-    terms, covs = jax.vmap(tile_term)(tiles, tile_hw, offsets)
-    h1 = jnp.sum(terms, axis=0)
-    cov = jnp.clip(jnp.sum(covs, axis=0), 0.0, 1.0)
+    ay, ax = jax.vmap(tile_weights)(tile_hw, offsets)   # (N, R/W, T)
+    # Σ_t (ay_t @ tile_t) @ ax_t^T as ONE contraction over the tile-
+    # stacked axis: materializing the per-tile (R, S, 3) terms and
+    # summing costs ~8 GB/call of HBM traffic at batch 64 (measured);
+    # concatenating the x axis across tiles makes the second einsum
+    # produce h1 directly.
+    out_spec = "src" if transposed_out else "rsc"
+    tmp = jnp.einsum("try,tyxc->rtxc",
+                     ay.astype(compute_dtype), tiles.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    h1 = jnp.einsum(f"rtxc,tsx->{out_spec}",
+                    tmp.astype(compute_dtype), ax.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+    # coverage: Σ_t outer(ay_t·1, ax_t·1) = (N,R)ᵀ-stack contraction
+    # (f32: the deficit term multiplies the border value)
+    cov = jnp.clip(
+        jnp.einsum("tr,ts->rs" if not transposed_out else "tr,ts->sr",
+                   ay.sum(2), ax.sum(2)), 0.0, 1.0)
 
     if zero_outside_canvas:
         # border only within the canvas; zero beyond it
         covy = jnp.clip(jnp.minimum(ys + 1.0, ch - ys), 0.0, 1.0)
         covx = jnp.clip(jnp.minimum(xs + 1.0, cw - xs), 0.0, 1.0)
-        cov_canvas = jnp.outer(covy, covx)
+        cov_canvas = (jnp.outer(covx, covy) if transposed_out
+                      else jnp.outer(covy, covx))
         h1 = h1 + border * jnp.maximum(cov_canvas - cov, 0.0)[..., None]
     else:
         h1 = h1 + border * (1.0 - cov)[..., None]
-    return h1
+    # the cast rides the border-add fusion: with out_dtype=bf16 every
+    # downstream pass (layout copies, shear windows) moves half the bytes
+    return h1.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -128,35 +165,71 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+_GROUP = 8      # rows per kernel iteration = the VPU sublane count
+_MAX_DK = 3     # max integer-shift spread within a group (slope<=0.23 * 7
+                # rows -> <=2; one extra for safety)
+
+
 def _shear_kernel(shift_ref, in_ref, out_ref, *, out_w: int, win: int,
-                  k_max: int, px: int):
-    """Per-row fractional x-shift over channel-interleaved rows. The
-    integer pixel shift splits into a 128-aligned dynamic lane slice
-    (Mosaic requires lane slices to be 128-aligned) plus a sub-128
-    `tpu.dynamic_rotate` — the rotate operates on a power-of-two-wide
-    window (dynamic_rotate silently corrupts data for non-power-of-two
-    lane counts)."""
+                  k_max: int, px: int, wl: int):
+    """Per-row fractional x-shift over channel-interleaved rows,
+    processed in groups of 8 rows (full sublane occupancy — the one-row-
+    per-iteration formulation used 1/8 of every vector op and was ~3x
+    slower).
+
+    Integer pixel shifts split three ways: a group-shared 128-aligned
+    dynamic lane slice (Mosaic requires lane slices to be 128-aligned),
+    a group-shared sub-128 `tpu.dynamic_rotate` (rotates all 8 sublanes
+    by the group-min shift), and a per-row residual d in [0, _MAX_DK]
+    (shifts vary by |slope| <= ~0.23 pixel/row) resolved by selecting
+    among cheap STATIC rolls of the group tile. The rotate operates on a
+    power-of-two-wide window (dynamic_rotate silently corrupts data for
+    non-power-of-two lane counts)."""
     rot_w = _next_pow2(win)
 
-    def body(i, _):
-        s = shift_ref[0, i, 0]
+    def body(g, _):
+        s = shift_ref[0, pl.ds(g * _GROUP, _GROUP), :]       # (8, 1) f32
         k = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, k_max)
-        f = s - k.astype(jnp.float32)
-        lane_k = k * px
-        k_hi = lane_k // 128
-        k_lo = lane_k - k_hi * 128
-        base = pl.multiple_of(k_hi * 128, 128)
-        window = in_ref[0, pl.ds(i, 1), pl.ds(base, win)]   # (1, win)
+        f = s - k.astype(jnp.float32)                        # (8, 1)
+        k_min = jnp.min(k)
+        d = jnp.clip(k - k_min, 0, _MAX_DK)                  # (8, 1)
+        lane_min = k_min * px
+        # clamp the window start so [base, base+win) stays in bounds —
+        # the roll absorbs the excess (lo < win <= rot_w always, see
+        # shear_x) — instead of padding the input by an extra HBM pass
+        base = pl.multiple_of(
+            jnp.minimum((lane_min // 128) * 128, wl - win), 128)
+        lo = lane_min - base                                 # [0, win)
+        window = in_ref[0, pl.ds(g * _GROUP, _GROUP), pl.ds(base, win)]
+        # bf16 inputs halve the HBM->VMEM block traffic, but
+        # tpu.dynamic_rotate only handles 32-bit data — convert the
+        # in-register window to f32 for the rolls
+        window = window.astype(jnp.float32)
         if rot_w != win:
             window = jnp.concatenate(
-                [window, jnp.zeros((1, rot_w - win), window.dtype)], axis=1)
-        ra = pltpu.roll(window, shift=-k_lo, axis=1)
-        rb = pltpu.roll(window, shift=-(k_lo + px), axis=1)
-        out_ref[0, pl.ds(i, 1), :] = (
-            ra[:, :out_w * px] * (1.0 - f) + rb[:, :out_w * px] * f)
+                [window,
+                 jnp.zeros((_GROUP, rot_w - win), window.dtype)], axis=1)
+        r0 = pltpu.roll(window, shift=-lo, axis=1)           # (8, rot_w)
+        # static rolls r0 shifted by d*px lanes, d = 0.._MAX_DK+1 (the
+        # +1 covers the second lerp tap)
+        rolled = [r0[:, :out_w * px]]
+        for dd in range(1, _MAX_DK + 2):
+            # left-rotate by dd*px as the modular non-negative shift
+            rolled.append(pltpu.roll(
+                r0, shift=rot_w - dd * px, axis=1)[:, :out_w * px])
+        za = rolled[0]
+        zb = rolled[1]
+        for dd in range(1, _MAX_DK + 1):
+            sel = d == dd                                    # (8, 1)
+            za = jnp.where(sel, rolled[dd], za)
+            zb = jnp.where(sel, rolled[dd + 1], zb)
+        # lerp in f32 regardless of the (possibly bf16) window dtype
+        out_ref[0, pl.ds(g * _GROUP, _GROUP), :] = (
+            za.astype(jnp.float32) * (1.0 - f)
+            + zb.astype(jnp.float32) * f).astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, out_ref.shape[1], body, 0)
+    jax.lax.fori_loop(0, out_ref.shape[1] // _GROUP, body, 0)
 
 
 def shear_x(img, shifts, out_w: int, px: int = 1):
@@ -166,20 +239,32 @@ def shear_x(img, shifts, out_w: int, px: int = 1):
     (x-major, channel-minor); shifts (B, H) f32 pixel shifts in
     [0, W - out_w - 2]. Returns (B, H, out_w*px). The input is padded so
     the kernel's 128-aligned window never reads out of bounds.
+
+    Contract (narrower than the scan reference): within every group of
+    8 consecutive rows, integer shifts may span at most _MAX_DK pixels —
+    i.e. |d shift / d row| <= _MAX_DK/7 ≈ 0.43. Affine shear shifts
+    (slope = the decomposed cl/uu, <= ~0.23 for the supported transform
+    range) always satisfy this; rows beyond the spread clamp to the
+    group envelope.
     """
     b, h, wl = img.shape
     w = wl // px
-    win = ((out_w * px + 128 + px + 127) // 128) * 128
+    win = ((out_w * px + 128 + (_MAX_DK + 1) * px + 127) // 128) * 128
     k_max = max(w - out_w - 2, 0)
-    required = 128 * ((k_max * px) // 128) + win
+    # the kernel clamps its window start into [0, wl - win] (the roll
+    # absorbs the residual), so the input only needs lane alignment and
+    # at least `win` lanes — no full shift-range padding pass
+    required = max(win, ((wl + 127) // 128) * 128)
     if wl < required:
         img = jnp.pad(img, ((0, 0), (0, 0), (0, required - wl)))
         wl = required
     # block over rows so VMEM holds (rows_blk, wl)+(rows_blk, out) with
     # double buffering — full-height blocks overflow the ~16MB budget
     rows_blk = 128 if h % 128 == 0 else h
+    assert rows_blk % _GROUP == 0, (
+        f"shear_x needs row count divisible by {_GROUP}, got {h}")
     kernel = partial(_shear_kernel, out_w=out_w, win=win, k_max=k_max,
-                     px=px)
+                     px=px, wl=wl)
     return pl.pallas_call(
         kernel,
         grid=(b, h // rows_blk),
@@ -189,7 +274,7 @@ def shear_x(img, shifts, out_w: int, px: int = 1):
         ],
         out_specs=pl.BlockSpec((1, rows_blk, out_w * px),
                                lambda bi, hi: (bi, hi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, out_w * px), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, out_w * px), img.dtype),
     )(shifts[..., None], img)
 
 
@@ -224,7 +309,7 @@ def _use_pallas():
 # ---------------------------------------------------------------------------
 
 def mosaic_affine_warp(tiles, tile_hw, m, xc, yc, out_size: Tuple[int, int],
-                       margin: int = MARGIN):
+                       margin: int = None):
     """Batched fused mosaic + affine warp, TPU-native.
 
     tiles (B, 4, T, T, 3) uint8; tile_hw (B, 4, 2); m (B, 2, 3) affine
@@ -232,13 +317,16 @@ def mosaic_affine_warp(tiles, tile_hw, m, xc, yc, out_size: Tuple[int, int],
     Returns (B, S, S, 3) f32. out_size must be square (S, S).
 
     Supported transform range: |shear slope| of the decomposed passes
-    must satisfy |slope| * (S + margin) <= margin, i.e. rotation+shear up
-    to ~15 deg at the default margin — covering the augmentation ranges
-    (degrees<=10, shear<=2). Beyond that, shifts clamp at the working-
-    grid edge and the output distorts near borders.
+    must satisfy |slope| * (S + margin) <= margin — `default_margin`
+    sizes the slack for rotation+shear up to ~12.5 deg, covering the
+    augmentation ranges (degrees<=10, shear<=2). Beyond that, shifts
+    clamp at the working-grid edge and the output distorts near borders;
+    pass a larger explicit margin for exotic configs.
     """
     s = out_size[0]
     assert out_size[0] == out_size[1], "mosaic output is square"
+    if margin is None:
+        margin = default_margin(s)
     wr = s + 2 * margin
     # round WR up to a lane multiple
     wr = ((wr + 127) // 128) * 128
@@ -264,16 +352,22 @@ def mosaic_affine_warp(tiles, tile_hw, m, xc, yc, out_size: Tuple[int, int],
 
     xs, ys, cl, uu, offs = jax.vmap(prep)(m, xc, yc, tile_hw)
 
-    # pass 1: (B, WR, WR, 3) — canvas-free scale resample
-    h1 = jax.vmap(
+    # pass 1: canvas-free scale resample, emitted TRANSPOSED (B, WR_x,
+    # WR_y, 3) straight from the contraction — pass 2 consumes the
+    # x-major layout, so no separate (B, WR, WR, 3) transpose pass.
+    # bf16 interpolation matmuls on TPU (MXU-native; see
+    # scale_resample_tiles), f32 elsewhere to keep CPU tests exact.
+    cdt = jnp.bfloat16 if _use_pallas() else jnp.float32
+    h1t4 = jax.vmap(
         lambda t4, hw4, o4, x, y: scale_resample_tiles(
-            t4, hw4.astype(jnp.float32), o4, x, y, (2 * s, 2 * s))
+            t4, hw4.astype(jnp.float32), o4, x, y, (2 * s, 2 * s),
+            transposed_out=True, compute_dtype=cdt, out_dtype=cdt)
     )(tiles, tile_hw, offs, xs, ys)
 
     # pass 2 (y-shear): h2[r, s'] = h1[r + cl*(s' - margin), s'] for
     # r in [0, S) — run as x-shear over channel-interleaved lanes (one
     # dynamic rotate covers all 3 channels; 3x fewer kernel iterations)
-    h1t = jnp.transpose(h1, (0, 2, 1, 3)).reshape(b, wr, wr * 3)
+    h1t = h1t4.reshape(b, wr, wr * 3)
     col = jnp.arange(wr, dtype=jnp.float32)
     shifts_y = cl[:, None] * (col - margin_x) + margin_x  # (B, WR)
     fn = shear_x if _use_pallas() else shear_x_reference
@@ -285,7 +379,7 @@ def mosaic_affine_warp(tiles, tile_hw, m, xc, yc, out_size: Tuple[int, int],
     row = jnp.arange(s, dtype=jnp.float32)
     shifts_x = uu[:, None] * row[None, :] + margin_x      # (B, S)
     out = fn(h2t, shifts_x, s, px=3)                # (B, S, S*3)
-    return out.reshape(b, s, s, 3)
+    return out.reshape(b, s, s, 3).astype(jnp.float32)
 
 
 def mixup_resample(p_tile, p_hw, r, do_flip, x_off, y_off,
