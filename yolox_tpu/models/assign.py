@@ -59,6 +59,24 @@ def _clamped_log(x):
     return jnp.maximum(jnp.log(x), -100.0)
 
 
+def _topk_iterative(vals, k: int):
+    """top-k of each row of (M, N), descending, ties -> lowest index
+    (exactly lax.top_k's order). k passes of fused argmax/mask instead
+    of the full sort lax.top_k lowers to on TPU — a (64x120, 2048) sort
+    costs ~log^2(N) passes; this costs 2k.
+    """
+    m, n = vals.shape
+    col = jnp.arange(n)
+    v = vals
+    out_v, out_i = [], []
+    for _ in range(k):
+        i = jnp.argmax(v, axis=1)                       # (M,) first max
+        out_v.append(jnp.max(v, axis=1))
+        out_i.append(i)
+        v = jnp.where(col[None, :] == i[:, None], -jnp.inf, v)
+    return jnp.stack(out_v, axis=1), jnp.stack(out_i, axis=1)
+
+
 def simota_assign(
     gt_labels,          # (M, 5): (cls, cx, cy, w, h); zero rows = padding
     bbox_preds,         # (A, 4) cxcywh, image space
@@ -132,12 +150,16 @@ def simota_assign(
         * jax.nn.sigmoid(obj_c.astype(jnp.float32))[:, None]
     )                                                   # (N, C)
     # sum_c BCE(p_c, onehot_g) = -sum_c log(1-p_c) - log(p_g) + log(1-p_g)
-    # (O(N*C + M*N) instead of materializing the (M, N, C) BCE tensor)
+    # (O(N*C + M*N) instead of materializing the (M, N, C) BCE tensor;
+    # the per-gt column pick runs as a one-hot matmul on the MXU — a
+    # column gather of (N, C) by M indices runs on the scalar core)
     log_p = _clamped_log(p)
     log_1mp = _clamped_log(1.0 - p)
     s_neg = -jnp.sum(log_1mp, axis=1)                   # (N,)
-    lp_g = log_p[:, gt_cls].T                           # (M, N)
-    l1mp_g = log_1mp[:, gt_cls].T
+    onehot_cls = jax.nn.one_hot(gt_cls, log_p.shape[1],
+                                dtype=jnp.float32)      # (M, C)
+    lp_g = jnp.einsum("nc,mc->mn", log_p, onehot_cls)   # (M, N)
+    l1mp_g = jnp.einsum("nc,mc->mn", log_1mp, onehot_cls)
     cls_cost = s_neg[None, :] - lp_g + l1mp_g           # (M, N)
 
     iou_cost = -jnp.log(ious + 1e-8)
@@ -152,20 +174,23 @@ def simota_assign(
 
     # ---- dynamic-k matching (`yolo_head.py:542-574`) ----
     k_pool = min(N_CANDIDATE_K, n)
-    topk_ious, _ = jax.lax.top_k(ious, k_pool)          # (M, k_pool)
+    topk_ious, _ = _topk_iterative(ious, k_pool)        # (M, k_pool)
     dynamic_ks = jnp.clip(
         jnp.sum(topk_ious, axis=1).astype(jnp.int32), 1, None)  # (M,)
 
-    neg_cost_topv, topk_idx = jax.lax.top_k(-cost, k_pool)      # (M, k_pool)
+    neg_cost_topv, topk_idx = _topk_iterative(-cost, k_pool)    # (M, k_pool)
     rank = jnp.arange(k_pool)[None, :]
     select = (rank < dynamic_ks[:, None]) & gt_mask[:, None]    # (M, k_pool)
     # never select a masked-out slot (pathological no-candidate case)
     select &= neg_cost_topv > -BIG / 2
 
-    matching = jnp.zeros((m, n), jnp.bool_)
-    matching = jax.vmap(
-        lambda row, idx, sel: row.at[idx].set(sel)
-    )(matching, topk_idx, select)                        # (M, N)
+    # matching[m, slot] = any rank r with topk_idx[m, r] == slot chosen —
+    # dense compare instead of a per-row scatter (sort-based on TPU)
+    matching = jnp.any(
+        (topk_idx[:, :, None] == jnp.arange(n)[None, None, :])
+        & select[:, :, None],
+        axis=1,
+    )                                                    # (M, N)
 
     # conflict resolution: slot matched by >1 gt -> keep argmin cost
     n_match = jnp.sum(matching, axis=0)                  # (N,)
