@@ -238,3 +238,49 @@ def test_remat_matches_no_remat(tiny_module):
                     jax.tree.leaves(outs[1][0]["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_overfit_two_images_yields_correct_detection(tiny_module):
+    """End-to-end coherence of the full training loop: assignment ->
+    losses -> gradients -> decode -> NMS. Overfit yolox-nano on two
+    fixed noise images sharing one gt box; after 600 steps the
+    postprocessed output must contain a confident detection of the
+    right class centered inside the gt box. (Assertions are chosen to
+    be robust to the chaotic SGD trajectory of random-init + tiny data:
+    they catch decode sign errors, class mix-ups, and NMS breakage —
+    things the loss-goes-down test above cannot see. Analog of the
+    reference's train-regression oracle,
+    /root/reference/tests/test_training.py:10-51, without the dataset.)
+    """
+    from yolox_tpu import YoloxModule
+    from yolox_tpu.core import full_params, init_train_state, make_train_step
+    from yolox_tpu.ops.nms import postprocess_device
+
+    module, cfg = tiny_module
+    size = 128
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (2, size, size, 3)), jnp.float32)
+    labels = np.zeros((2, 5, 5), np.float32)
+    labels[:, 0] = [3, 64, 64, 48, 40]          # cls 3, cxcywh
+    labels = jnp.asarray(labels)
+
+    step = make_train_step(module, cfg.num_classes, use_ema=False)
+    state = init_train_state(module.params, use_ema=False)
+    for i in range(600):
+        lr = 0.02 if i > 50 else 0.02 * (i / 50) ** 2
+        state, _ = step(state, x, labels, jnp.float32(lr))
+
+    trained = YoloxModule.from_config(cfg)
+    trained.params = full_params(state)
+    dets, valid = postprocess_device(
+        trained(x), cfg.num_classes, conf_thre=0.2, nms_thre=0.65)
+    d = np.asarray(dets[0])
+    assert int(np.asarray(valid[0]).sum()) >= 1, "no detection survived"
+    top = d[0]
+    assert int(top[6]) == 3, top                 # right class
+    assert top[4] * top[5] > 0.2, top            # obj * cls confidence
+    cx, cy = (top[0] + top[2]) / 2, (top[1] + top[3]) / 2
+    # centered inside the gt box (8 px slack: convergence at 600 chaotic
+    # SGD steps is approximate; decode bugs are off by >> this)
+    assert 32 < cx < 96 and 36 < cy < 92, top
