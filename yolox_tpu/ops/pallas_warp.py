@@ -404,5 +404,6 @@ def mixup_resample(p_tile, p_hw, r, do_flip, x_off, y_off,
     h1 = scale_resample_tiles(
         p_tile[None], p_hw[None].astype(jnp.float32),
         jnp.zeros((1, 2), jnp.float32), xs, ys,
-        (hj, wj), border=PAD, zero_outside_canvas=True)
+        (hj, wj), border=PAD, zero_outside_canvas=True,
+        compute_dtype=jnp.bfloat16 if _use_pallas() else jnp.float32)
     return h1
