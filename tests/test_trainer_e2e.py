@@ -275,3 +275,27 @@ def test_multiscale_bucket_set(tiny_cfg):
     assert all(h % 32 == 0 and w % 32 == 0 for h, w in sizes)
     assert min(h for h, _ in sizes) == 480 and max(h for h, _ in sizes) == 800
     assert len(sizes) == 11
+
+
+def test_multiscale_warmup_precompiles_bucket_sizes(tiny_cfg):
+    """config.warmup_multiscale: after the first iteration a background
+    thread AOT-compiles the step for every other bucket size (and both
+    L1 phases), priming the persistent XLA compilation cache."""
+    tiny_cfg.multiscale_range = 1          # buckets: 32, 64, 96
+    tiny_cfg.warmup_multiscale = True
+    trainer = tiny_cfg.get_trainer(_args(tiny_cfg.output_dir))
+    trainer.train()
+    assert trainer._warmup_thread is not None
+    trainer._warmup_thread.join(timeout=300)
+    # 2 non-default sizes x 2 steps (plain + L1)
+    assert trainer.warmup_compiled == 4
+
+
+def test_multiscale_sizes_enumeration():
+    cfg = YoloxConfig.get_named_config("yolox_s")
+    sizes = cfg.multiscale_sizes()
+    assert (640, 640) in sizes
+    assert len(sizes) == 11
+    assert all(h % 32 == 0 and w % 32 == 0 for h, w in sizes)
+    assert min(s[0] for s in sizes) == 640 - 5 * 32
+    assert max(s[0] for s in sizes) == 640 + 5 * 32

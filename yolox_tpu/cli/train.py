@@ -63,6 +63,19 @@ def make_parser():
 def train(config, args):
     import numpy as np
 
+    from yolox_tpu.utils.setup_env import (
+        configure_compilation_cache,
+        configure_module,
+        configure_omp,
+    )
+
+    # reference `cli/train.py:96-110` analog: tame worker thread pools,
+    # raise fd limits; plus the persistent XLA compile cache (multiscale
+    # compiles one program per size — cache makes that per-machine)
+    configure_omp()
+    configure_module()
+    configure_compilation_cache()
+
     if config.seed is not None:
         random.seed(config.seed)
         np.random.seed(config.seed)

@@ -91,6 +91,12 @@ class YoloxConfig:
     # (yolox_tpu/data/device_augment.py) — for CPU-poor TPU hosts where
     # the input pipeline cannot feed the chips
     device_augment: bool = False
+    # pre-compile the training step for every multiscale bucket size in a
+    # background thread once real batch shapes are known — with the
+    # persistent XLA compilation cache on (the train CLI enables it),
+    # this removes the minutes-scale mid-epoch stall the first time each
+    # of the 11 sizes is drawn
+    warmup_multiscale: bool = False
 
     # -----------------  testing config ------------------ #
     test_size: Tuple[int, int] = (640, 640)
@@ -242,6 +248,17 @@ class YoloxConfig:
             self.random_size = (min_size, max_size)
         size = int(rng.integers(self.random_size[0], self.random_size[1] + 1))
         return (int(32 * size), 32 * int(size * size_factor))
+
+    def multiscale_sizes(self):
+        """The full 32-aligned bucket set `random_resize` draws from."""
+        size_factor = self.input_size[1] * 1.0 / self.input_size[0]
+        if self.random_size is None:
+            min_size = int(self.input_size[0] / 32) - self.multiscale_range
+            max_size = int(self.input_size[0] / 32) + self.multiscale_range
+        else:
+            min_size, max_size = self.random_size
+        return [(32 * s, 32 * int(s * size_factor))
+                for s in range(int(min_size), int(max_size) + 1)]
 
     def get_optimizer(self, batch_size):
         from yolox_tpu.core.optimizer import build_optimizer

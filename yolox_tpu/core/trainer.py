@@ -134,6 +134,7 @@ class Trainer:
         step = self._step_l1 if self.use_l1 else self._step
         self.train_state, outputs = step(
             self.train_state, inps, targets, jnp.float32(lr))
+        self._maybe_warmup_multiscale(inps, targets)
 
         iter_end_time = time.time()
         self.meter.update(
@@ -422,6 +423,57 @@ class Trainer:
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
+
+    def _maybe_warmup_multiscale(self, inps, targets):
+        """Once real batch shapes are known (first iteration), pre-compile
+        the training step for every multiscale bucket size in a background
+        thread (config.warmup_multiscale). The AOT compiles populate the
+        persistent XLA compilation cache (enabled by the train CLI), so
+        when `random_resize` later draws a new size the jit call re-traces
+        but skips the minutes-scale XLA compile.
+        """
+        if (not getattr(self.exp, "warmup_multiscale", False)
+                or self.exp.deterministic
+                or getattr(self, "_warmup_thread", None) is not None):
+            return
+        import threading
+
+        import jax
+
+        def sds(t, shape=None):
+            # keep shardings so warmed programs match the real call's
+            # signature on a mesh
+            return jax.ShapeDtypeStruct(
+                np.shape(t) if shape is None else shape, t.dtype,
+                sharding=getattr(t, "sharding", None))
+
+        batch_shape = tuple(np.shape(inps))
+        x_proto = inps
+        target_sds = jax.tree.map(sds, targets)
+        state_sds = jax.tree.map(sds, self.train_state)
+        lr_sds = jax.ShapeDtypeStruct((), np.float32)
+        sizes = [tuple(s) for s in self.exp.multiscale_sizes()
+                 if tuple(s) != tuple(self.input_size)]
+        self.warmup_compiled = 0
+
+        def work():
+            for (th, tw) in sizes:
+                x_sds = sds(
+                    x_proto, (batch_shape[0], th, tw, batch_shape[3]))
+                for step in (self._step, self._step_l1):
+                    try:
+                        step.lower(state_sds, x_sds, target_sds,
+                                   lr_sds).compile()
+                        self.warmup_compiled += 1
+                    except Exception as e:  # never take training down
+                        logger.warning(
+                            "multiscale warmup failed for %sx%s: %s",
+                            th, tw, e)
+                        return
+
+        self._warmup_thread = threading.Thread(
+            target=work, daemon=True, name="multiscale-warmup")
+        self._warmup_thread.start()
 
     def _multiscale_resize(self, inps, targets):
         """On-device bilinear resize to the current multiscale size."""

@@ -16,6 +16,31 @@ def configure_omp(num_threads: int = 1):
         os.environ["OMP_NUM_THREADS"] = str(num_threads)
 
 
+def configure_compilation_cache(cache_dir: str = None):
+    """Enable JAX's persistent XLA compilation cache (idempotent; no-op
+    if the user already configured one).
+
+    Multiscale training compiles one step program per 32-aligned input
+    size; with the cache, that minutes-scale cost is paid once per
+    machine instead of once per run. Default location:
+    $YOLOX_HOME/xla_cache.
+    """
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    if cache_dir is None:
+        home = os.environ.get(
+            "YOLOX_HOME", os.path.join(os.path.expanduser("~"),
+                                       ".cache", "yolox"))
+        cache_dir = os.path.join(home, "xla_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
+
+
 def configure_module(ulimit_value: int = 8192):
     """Raise RLIMIT_NOFILE and disable cv2 threading/OpenCL
     (`setup_env.py:49-75`)."""
