@@ -253,3 +253,39 @@ def test_mosaic_affine_warp_close_on_general_affine():
     # the 1px frontier can differ by interpolation-order effects
     close = np.abs(got - want) <= 3.0
     assert close.mean() > 0.98, close.mean()
+
+
+def test_folded_flip_is_a_mirror():
+    """The TrainTransform flip is folded into the image producers'
+    sample coordinates. Invariants: the plain (non-mosaic) path is a
+    BIT-EXACT mirror; labels mirror exactly (ow - x convention, as the
+    reference's _mirror); the mosaic path mirrors up to the engine's
+    multi-pass interpolation variance."""
+    from yolox_tpu.data.device_augment import device_augment_batch
+
+    s = 64
+    rng = np.random.default_rng(5)
+    tiles = rng.integers(0, 255, (2, 5, s, s, 3), dtype=np.uint8)
+    hw = np.full((2, 5, 2), s, np.float32)
+    labels = np.zeros((2, 5, 4, 5), np.float32)
+    labels[..., 0, :] = [4, 4, 40, 40, 1]
+    args = (jnp.asarray(tiles), jnp.asarray(hw), jnp.asarray(labels))
+    key = jax.random.PRNGKey(7)
+
+    common = dict(out_size=(s, s), max_labels=8, hsv_prob=0.0,
+                  mixup_prob=0.0)
+    a_f, l_f = device_augment_batch(*args, key, mosaic_prob=0.0,
+                                    flip_prob=1.0, **common)
+    a_n, l_n = device_augment_batch(*args, key, mosaic_prob=0.0,
+                                    flip_prob=0.0, **common)
+    np.testing.assert_array_equal(
+        np.asarray(a_f), np.asarray(a_n)[:, :, ::-1])
+    lf, ln = np.asarray(l_f[0, 0]), np.asarray(l_n[0, 0])
+    assert lf[1] == s - ln[1] and (lf[2:] == ln[2:]).all()
+
+    b_f, _ = device_augment_batch(*args, key, mosaic_prob=1.0,
+                                  flip_prob=1.0, **common)
+    b_n, _ = device_augment_batch(*args, key, mosaic_prob=1.0,
+                                  flip_prob=0.0, **common)
+    d = np.abs(np.asarray(b_f) - np.asarray(b_n)[:, :, ::-1])
+    assert d.mean() < 3.0 and np.median(d) < 1.0

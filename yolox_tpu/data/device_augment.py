@@ -465,31 +465,54 @@ def device_augment_batch(
         tile_hw, labels, m, xc, yc, jf, mixflip, x_off, y_off, u_mix)
 
     # ---- images, batched (MXU scale pass + Pallas shear passes) ----
+    # The TrainTransform flip (`img[:, ::-1]` in the reference tail) is
+    # FOLDED into each image producer's sample coordinates instead of
+    # applied as a full-image reverse pass at the end: flip commutes
+    # with HSV (pointwise) and with the 0.5/0.5 MixUp blend, and a
+    # bilinear warp of mirrored coordinates equals the mirror of the
+    # warp. Mosaic: compose x' = (ow-1) - x into the affine matrix.
+    ow_f = jnp.float32(ow)
+    m_flip = jnp.concatenate(
+        [
+            jnp.stack([-m[:, 0, 0], -m[:, 0, 1],
+                       (ow_f - 1.0) - m[:, 0, 2]], axis=1)[:, None, :],
+            m[:, 1:2, :],
+        ],
+        axis=1,
+    )
+    m_used = jnp.where(do_flip[:, None, None], m_flip, m)
     img_m = mosaic_affine_warp(
-        tiles[:, :4], tile_hw[:, :4], m, xc, yc, out_size)
+        tiles[:, :4], tile_hw[:, :4], m_used, xc, yc, out_size)
     if enable_mixup:
         r0 = jnp.minimum(oh / tile_hw[:, 4, 0], ow / tile_hw[:, 4, 1])
         part = jax.vmap(
-            lambda t, hw, rr, fl, xo, yo: mixup_resample(
-                t, hw, rr, fl, xo, yo, out_size)
-        )(tiles[:, 4], tile_hw[:, 4], r0 * jf, mixflip, x_off, y_off)
+            lambda t, hw, rr, fl, xo, yo, ofl: mixup_resample(
+                t, hw, rr, fl, xo, yo, out_size, out_flip=ofl)
+        )(tiles[:, 4], tile_hw[:, 4], r0 * jf, mixflip, x_off, y_off,
+          do_flip)
         img_m = jnp.where(do_mix[:, None, None, None],
                           0.5 * img_m + 0.5 * part, img_m)
 
+    # plain path: letterboxed tile 0, mirrored per sample when flipped
+    # (uint8 static reverse + select — cheaper than reversing the f32
+    # blended batch)
     ys_g, xs_g = jnp.mgrid[0:oh, 0:ow].astype(jnp.float32)
+    t0 = tiles[:, 0, :oh, :ow]
+    src = jnp.where(do_flip[:, None, None, None], t0[:, :, ::-1], t0)
+    xs_eff = jnp.where(do_flip[:, None, None],
+                       (ow_f - 1.0) - xs_g[None], xs_g[None])
     in0 = ((ys_g[None] < tile_hw[:, 0, 0, None, None])
-           & (xs_g[None] < tile_hw[:, 0, 1, None, None]))
-    img_n = jnp.where(in0[..., None],
-                      tiles[:, 0, :oh, :ow].astype(jnp.float32), PAD)
+           & (xs_eff < tile_hw[:, 0, 1, None, None]))
+    img_n = jnp.where(in0[..., None], src.astype(jnp.float32), PAD)
 
     img = jnp.where(do_mosaic[:, None, None, None], img_m, img_n)
     boxes = jnp.where(do_mosaic[:, None, None], boxes_m, boxes_n)
     keep = jnp.where(do_mosaic[:, None], keep_m, keep_n)
 
-    # ---- shared TrainTransform tail: HSV -> flip -> pack ----
+    # ---- shared TrainTransform tail: HSV -> pack (flip already folded
+    # into the image producers; labels mirror below) ----
     hsv = jax.vmap(hsv_jitter)(img, hsv_keys)
     img = jnp.where(do_hsv[:, None, None, None], hsv, img)
-    img = jnp.where(do_flip[:, None, None, None], img[:, :, ::-1], img)
     fboxes = jnp.stack([
         ow - boxes[..., 2], boxes[..., 1], ow - boxes[..., 0],
         boxes[..., 3],

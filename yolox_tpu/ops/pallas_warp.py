@@ -383,11 +383,15 @@ def mosaic_affine_warp(tiles, tile_hw, m, xc, yc, out_size: Tuple[int, int],
 
 
 def mixup_resample(p_tile, p_hw, r, do_flip, x_off, y_off,
-                   out_size: Tuple[int, int]):
+                   out_size: Tuple[int, int], out_flip=False):
     """Partner-image resample for MixUp (reference geometry): letterbox to
     the input size, scale the whole canvas by jit factor (total content
     scale `r`), optional h-flip, zero-pad, crop at (x_off, y_off).
-    Single separable pass (no rotation). Returns (S, S, 3) f32."""
+    Single separable pass (no rotation). Returns (S, S, 3) f32.
+
+    out_flip additionally mirrors the OUTPUT x axis (the TrainTransform
+    final flip folded into the sample coordinates — output column j
+    reads cropped column ow-1-j)."""
     oh, ow = out_size
     # jittered canvas size: (oh * jf, ow * jf); r = r0 * jf where r0 is
     # the letterbox scale — recover jf from r and r0
@@ -396,7 +400,9 @@ def mixup_resample(p_tile, p_hw, r, do_flip, x_off, y_off,
     hj, wj = oh * jf, ow * jf
 
     ys = (jnp.arange(oh, dtype=jnp.float32) + y_off) / r
-    xs_canvas = jnp.arange(ow, dtype=jnp.float32) + x_off
+    j = jnp.arange(ow, dtype=jnp.float32)
+    j = jnp.where(out_flip, (ow - 1.0) - j, j)
+    xs_canvas = j + x_off
     # un-flip in jittered-canvas coords (image flip reads wj-1-x), then
     # scale down to tile coords
     xs = jnp.where(do_flip, ((wj - 1.0) - xs_canvas), xs_canvas) / r
