@@ -209,6 +209,38 @@ def bench_train(name, batch, iters, remat=False, device_aug=False):
     }
 
 
+# the full README benchmark matrix: (model, mode, remat) per row, in
+# README order — `--all` regenerates every row as one JSON line each
+README_ROWS = [
+    ("nano", "serve", False), ("tiny", "serve", False),
+    ("s", "serve", False), ("s", "serve-b1", False),
+    ("m", "serve", False), ("l", "serve", False), ("x", "serve", False),
+    ("s", "fwd", False),
+    ("s", "train", False), ("s", "train-aug", False),
+    ("m", "train", False), ("l", "train", False), ("x", "train", True),
+]
+
+
+def run_one(model, mode, batch, iters, remat):
+    if mode == "serve":
+        out = bench_serve(model, batch or SERVE_BATCH[model], iters)
+        if model == "s" and batch is None:
+            # keep the driver headline metric name stable
+            out["metric"] = ("yolox_s 640px batched inference incl. NMS "
+                             "(bf16)")
+    elif mode == "serve-b1":
+        out = bench_serve(model, 1, iters, batch1=True)
+    elif mode == "fwd":
+        out = bench_fwd(model, batch or SERVE_BATCH[model], iters)
+    elif mode == "train":
+        out = bench_train(model, batch or TRAIN_BATCH[model], iters,
+                          remat=remat)
+    else:
+        out = bench_train(model, batch or TRAIN_BATCH[model], iters,
+                          device_aug=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="s",
@@ -219,27 +251,18 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--all", action="store_true",
+                    help="run every README benchmark row (one JSON line "
+                         "each; expect long compiles for l/x)")
     args = ap.parse_args()
 
-    if args.mode == "serve":
-        out = bench_serve(args.model,
-                          args.batch or SERVE_BATCH[args.model], args.iters)
-        if args.model == "s" and args.batch is None:
-            # keep the driver headline metric name stable
-            out["metric"] = "yolox_s 640px batched inference incl. NMS (bf16)"
-    elif args.mode == "serve-b1":
-        out = bench_serve(args.model, 1, args.iters, batch1=True)
-    elif args.mode == "fwd":
-        out = bench_fwd(args.model,
-                        args.batch or SERVE_BATCH[args.model], args.iters)
-    elif args.mode == "train":
-        out = bench_train(args.model,
-                          args.batch or TRAIN_BATCH[args.model],
-                          args.iters, remat=args.remat)
-    else:
-        out = bench_train(args.model,
-                          args.batch or TRAIN_BATCH[args.model],
-                          args.iters, device_aug=True)
+    if args.all:
+        for model, mode, remat in README_ROWS:
+            out = run_one(model, mode, None, args.iters, remat)
+            print(json.dumps(out), flush=True)
+        return
+
+    out = run_one(args.model, args.mode, args.batch, args.iters, args.remat)
     print(json.dumps(out))
 
 

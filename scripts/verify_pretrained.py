@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""One-command pretrained-weight parity gate.
+
+The framework's headline claim — upstream `.pth` checkpoints load and
+reproduce the reference's detections and COCO mAP — is only evidence when
+this script runs green. It settles the claim the moment weights (and
+optionally COCO val2017) are available:
+
+  python scripts/verify_pretrained.py                     # all 6 models
+  python scripts/verify_pretrained.py --models yolox_s yolox_tiny
+  python scripts/verify_pretrained.py --data-dir /datasets/COCO
+
+Per model it runs two legs and writes `PARITY.json`:
+
+  1. **golden detections** — the reference's own primary oracle
+     (`/root/reference/tests/test_detections.py:39-51`): three real COCO
+     images, expected labels exact, scores atol 1e-4, boxes atol 1e-2.
+     Expectations default to the reference test module's DETECTIONS_DATA
+     table; `--expectations FILE` substitutes a JSON file of the same
+     shape (used by the self-test harness with random-weight fixtures).
+  2. **COCO-val mAP** — full val2017 eval vs the upstream model-zoo table
+     (`/root/reference/docs/model_zoo.md:7-11,30-31`); any |delta| > 0.1
+     mAP fails the gate. Skipped (status "not-run") when no data dir with
+     annotations exists.
+
+Exit status: 0 all run legs pass · 1 any leg fails · 2 weights or
+oracle inputs missing (the gate cannot attest parity without evidence).
+
+The harness itself is exercised offline by
+`tests/test_verify_pretrained.py`, which generates a random-weight `.pth`
++ matching expectations from the reference torch model and asserts this
+script passes on them (and fails on perturbed ones).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import importlib.util
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+REFERENCE = Path(os.environ.get("YOLOX_REFERENCE", "/root/reference"))
+DEFAULT_IMAGES = sorted(glob.glob(str(REFERENCE / "tests/data/*.jpg")))
+
+MODELS = ["yolox_nano", "yolox_tiny", "yolox_s", "yolox_m", "yolox_l",
+          "yolox_x"]
+
+# upstream model zoo, mAP val 0.5:0.95 (docs/model_zoo.md:7-11 standard
+# models at 640; :30-31 light models at 416)
+ZOO_MAP = {
+    "yolox_nano": 25.8,
+    "yolox_tiny": 32.8,
+    "yolox_s": 40.5,
+    "yolox_m": 46.9,
+    "yolox_l": 49.7,
+    "yolox_x": 51.1,
+}
+
+BOX_ATOL = 1e-2
+SCORE_ATOL = 1e-4
+MAP_TOL = 0.1
+
+
+def load_reference_expectations():
+    path = REFERENCE / "tests" / "test_detections.py"
+    if not path.exists():
+        return None
+    spec = importlib.util.spec_from_file_location("_ref_detections", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.DETECTIONS_DATA
+
+
+def check_goldens(model_name, ckpt_path, expectations, images):
+    """Run the golden-detection leg; returns a result dict."""
+    from PIL import Image
+
+    from yolox_tpu import Yolox, YoloxConfig
+
+    config = YoloxConfig.get_named_config(model_name)
+    model = Yolox.from_pretrained(str(ckpt_path), config=config)
+    results = model([Image.open(p) for p in images], threshold=0.5)
+
+    max_box = 0.0
+    max_score = 0.0
+    for i, (result, expected) in enumerate(zip(results, expectations)):
+        if list(result["labels"]) != list(expected["labels"]):
+            return {
+                "status": "fail",
+                "detail": f"image {i}: labels {list(result['labels'])} "
+                          f"!= expected {list(expected['labels'])}",
+            }
+        if expected["labels"]:
+            max_score = max(max_score, float(np.abs(
+                np.asarray(result["scores"])
+                - np.asarray(expected["scores"])).max()))
+            max_box = max(max_box, float(np.abs(
+                np.asarray(result["bboxes"], np.float64)
+                - np.asarray(expected["bboxes"], np.float64)).max()))
+    ok = max_box <= BOX_ATOL and max_score <= SCORE_ATOL
+    return {
+        "status": "pass" if ok else "fail",
+        "max_box_err": max_box,
+        "max_score_err": max_score,
+        "tolerances": {"boxes": BOX_ATOL, "scores": SCORE_ATOL},
+        "images": len(expectations),
+    }
+
+
+def check_map(model_name, ckpt_path, data_dir):
+    """Full COCO val2017 eval vs the model-zoo number."""
+    import jax.numpy as jnp
+
+    from yolox_tpu import YoloxConfig
+    from yolox_tpu.models.weights import load_pth_params
+    from yolox_tpu.models.yolox import YoloxModule
+
+    config = YoloxConfig.get_named_config(model_name)
+    config.data_dir = str(data_dir)
+    module = YoloxModule.from_config(config, dtype=jnp.bfloat16)
+    module.load_params(load_pth_params(str(ckpt_path)))
+    evaluator = config.get_evaluator(batch_size=64)
+    ap50_95, _ap50, _summary = evaluator.evaluate(
+        module, distributed=False, half=True)
+    measured = float(ap50_95) * 100.0
+    expected = ZOO_MAP[model_name]
+    delta = measured - expected
+    return {
+        "status": "pass" if abs(delta) <= MAP_TOL else "fail",
+        "expected_map": expected,
+        "measured_map": round(measured, 3),
+        "delta": round(delta, 3),
+        "tolerance": MAP_TOL,
+    }
+
+
+def resolve_weights(model_name, weights_dir):
+    """Local file first; else the package's cached-download path."""
+    if weights_dir is not None:
+        local = Path(weights_dir) / f"{model_name}.pth"
+        if local.exists():
+            return str(local)
+    from yolox_tpu.models.yolox import YoloxModule
+
+    try:
+        return YoloxModule._cached_pretrained_weights(model_name)
+    except RuntimeError as e:
+        print(f"[{model_name}] weights unavailable: {e}", file=sys.stderr)
+        return None
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="pretrained-weight parity gate (see module docstring)")
+    ap.add_argument("--models", nargs="+", default=MODELS,
+                    choices=MODELS)
+    ap.add_argument("--weights-dir", default=None,
+                    help="directory of <model>.pth files; falls back to "
+                         "the package cache (downloading when possible)")
+    ap.add_argument("--expectations", default=None,
+                    help="JSON golden-detection expectations "
+                         "{model: [{labels, scores, bboxes}, ...]}; "
+                         "default: the reference test module's table")
+    ap.add_argument("--images", nargs="+", default=DEFAULT_IMAGES,
+                    help="golden test images (default: the reference's)")
+    ap.add_argument("--data-dir", default=os.environ.get("YOLOX_DATADIR"),
+                    help="COCO root with val2017 + annotations; omitting "
+                         "skips the mAP leg")
+    ap.add_argument("--skip-goldens", action="store_true")
+    ap.add_argument("--skip-map", action="store_true")
+    ap.add_argument("--out", default="PARITY.json")
+    args = ap.parse_args(argv)
+
+    if args.expectations:
+        with open(args.expectations) as f:
+            expectations_all = json.load(f)
+    else:
+        expectations_all = load_reference_expectations()
+
+    map_available = (not args.skip_map and args.data_dir
+                     and Path(args.data_dir, "annotations").exists())
+    if not args.skip_map and not map_available:
+        print("mAP leg: no COCO annotations found -> not-run",
+              file=sys.stderr)
+
+    report = {"tolerances": {"boxes": BOX_ATOL, "scores": SCORE_ATOL,
+                             "map": MAP_TOL},
+              "models": {}}
+    exit_code = 0
+    for model_name in args.models:
+        entry = {}
+        report["models"][model_name] = entry
+        ckpt = resolve_weights(model_name, args.weights_dir)
+        if ckpt is None:
+            entry["weights"] = "missing"
+            exit_code = max(exit_code, 2)
+            continue
+        entry["weights"] = ckpt
+
+        if not args.skip_goldens:
+            exp = (expectations_all or {}).get(model_name)
+            if exp is None or not args.images:
+                entry["goldens"] = {"status": "missing-oracle"}
+                exit_code = max(exit_code, 2)
+            else:
+                entry["goldens"] = check_goldens(
+                    model_name, ckpt, exp, args.images)
+                if entry["goldens"]["status"] != "pass":
+                    exit_code = max(exit_code, 1)
+
+        if args.skip_map:
+            pass
+        elif not map_available:
+            entry["map"] = {"status": "not-run",
+                            "expected_map": ZOO_MAP[model_name]}
+            exit_code = max(exit_code, 2)
+        else:
+            entry["map"] = check_map(model_name, ckpt, args.data_dir)
+            if entry["map"]["status"] != "pass":
+                exit_code = max(exit_code, 1)
+
+        print(f"[{model_name}] " + json.dumps(entry))
+
+    report["verdict"] = {0: "parity-verified", 1: "PARITY-FAILED",
+                         2: "incomplete-evidence"}[exit_code]
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"{report['verdict']} -> {args.out}")
+    return exit_code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,7 +20,8 @@ import pathlib
 import sys
 
 
-def main(rank: int, nprocs: int, port: int, outdir: str):
+def main(rank: int, nprocs: int, port: int, outdir: str,
+         eval_data_dir: str = None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -76,10 +77,32 @@ def main(rank: int, nprocs: int, port: int, outdir: str):
         "losses": losses,
         "gathered": gathered,
     }
+
+    if eval_data_dir:
+        # distributed COCO evaluation: each process infers its strided
+        # shard of the synthetic val set, detections are all-gathered, and
+        # rank 0 runs COCOeval — the `distributed=True` gather/dedup path
+        # (reference analog: yolox/evaluators/coco_evaluator.py:189-196)
+        sys.path.insert(0, str(pathlib.Path(__file__).parent))
+        from _synthetic_coco import make_tiny_eval_config
+
+        cfg = make_tiny_eval_config(eval_data_dir)
+        eval_module = YoloxModule.from_config(cfg)  # seeded: same weights
+        evaluator = cfg.get_evaluator(
+            batch_size=2 * nprocs, is_distributed=True)
+        ap50_95, ap50, summary = evaluator.evaluate(
+            eval_module, distributed=True)
+        out["eval"] = {
+            "ap50_95": float(ap50_95),
+            "ap50": float(ap50),
+            "has_summary": summary is not None,
+        }
+
     path = pathlib.Path(outdir) / f"rank{rank}.json"
     path.write_text(json.dumps(out))
     jax.distributed.shutdown()
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+         sys.argv[5] if len(sys.argv) > 5 else None)

@@ -289,3 +289,54 @@ def test_folded_flip_is_a_mirror():
                                   flip_prob=0.0, **common)
     d = np.abs(np.asarray(b_f) - np.asarray(b_n)[:, :, ::-1])
     assert d.mean() < 3.0 and np.median(d) < 1.0
+
+
+def test_bf16_resample_deviation_bounded():
+    """The TPU path runs the interpolation matmuls in bf16 (docstring
+    claims O(1) pixel LSB deviation); bound it on CPU by running the same
+    call with compute_dtype=bfloat16 vs float32."""
+    from yolox_tpu.ops.pallas_warp import mixup_resample, scale_resample_tiles
+
+    rng = np.random.default_rng(7)
+    t = 64
+    tiles = jnp.asarray(
+        rng.integers(0, 255, (4, t, t, 3), dtype=np.uint8))
+    tile_hw = jnp.asarray(
+        rng.integers(32, t + 1, (4, 2)).astype(np.float32))
+    offsets = jnp.asarray(rng.uniform(0, 40, (4, 2)).astype(np.float32)
+                          .round())
+    xs = jnp.asarray(np.linspace(-5.0, 120.0, 96, dtype=np.float32))
+    ys = jnp.asarray(np.linspace(-3.0, 110.0, 96, dtype=np.float32))
+
+    out = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        out[dt] = np.asarray(scale_resample_tiles(
+            tiles, tile_hw, offsets, xs, ys, (128, 128),
+            compute_dtype=dt))
+    # pixel values 0..255 are exact in bf16; the weights round to ~2^-9
+    # relative, so each of the <=4 contributing taps moves by <=255*2^-8
+    # with f32 accumulation -> a few LSB worst case
+    dev = np.abs(out[jnp.float32] - out[jnp.bfloat16]).max()
+    assert dev <= 4.0, dev
+
+    # mixup_resample picks its compute dtype via _use_pallas(); force the
+    # bf16 branch (its single pass is pure XLA, no Pallas kernel) and
+    # compare against the CPU f32 branch on identical geometry
+    from yolox_tpu.ops import pallas_warp
+
+    p_tile = tiles[0]
+    p_hw = tile_hw[0]
+    for flips in ((False, False), (True, True)):
+        call = lambda: mixup_resample(  # noqa: E731
+            p_tile, p_hw, jnp.float32(1.3), flips[0],
+            jnp.float32(4.0), jnp.float32(2.0), (96, 96),
+            out_flip=flips[1])
+        f32 = np.asarray(call())
+        orig = pallas_warp._use_pallas
+        pallas_warp._use_pallas = lambda: True
+        try:
+            b16 = np.asarray(call())
+        finally:
+            pallas_warp._use_pallas = orig
+        dev = np.abs(f32 - b16).max()
+        assert dev <= 4.0, dev

@@ -27,10 +27,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_train_step_and_gather(tmp_path):
+def _run_workers(tmp_path, nprocs=2, extra_args=()):
+    """Spawn the worker script across nprocs local processes and return
+    their parsed result JSONs."""
     port = _free_port()
-    nprocs = 2
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -39,7 +39,8 @@ def test_two_process_train_step_and_gather(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "multiprocess_worker.py"),
-             str(rank), str(nprocs), str(port), str(tmp_path)],
+             str(rank), str(nprocs), str(port), str(tmp_path),
+             *map(str, extra_args)],
             env=env, cwd=str(REPO),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for rank in range(nprocs)
@@ -56,8 +57,14 @@ def test_two_process_train_step_and_gather(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
 
-    results = [json.loads((tmp_path / f"rank{r}.json").read_text())
-               for r in range(nprocs)]
+    return [json.loads((tmp_path / f"rank{r}.json").read_text())
+            for r in range(nprocs)]
+
+
+@pytest.mark.slow
+def test_two_process_train_step_and_gather(tmp_path):
+    nprocs = 2
+    results = _run_workers(tmp_path, nprocs)
     assert all(r["process_count"] == nprocs for r in results)
     assert all(r["n_devices"] == 4 for r in results)
 
@@ -98,3 +105,34 @@ def test_two_process_train_step_and_gather(tmp_path):
     for key, want in results[0]["losses"].items():
         got = float(np.asarray(metrics[key]))
         assert got == pytest.approx(want, rel=1e-5, abs=1e-6), key
+
+
+@pytest.mark.slow
+def test_two_process_distributed_eval(tmp_path, tmp_path_factory):
+    """`CocoEvaluator.evaluate(distributed=True)` across 2 real processes:
+    each rank infers its strided shard, detections are all-gathered, and
+    rank 0's COCO stats must equal a single-process evaluation of the
+    identical dataset/weights (reference gather analog:
+    `/root/reference/yolox/evaluators/coco_evaluator.py:189-196`)."""
+    from tests._synthetic_coco import build_synthetic_coco, \
+        make_tiny_eval_config
+
+    data_dir = build_synthetic_coco(tmp_path_factory.mktemp("coco_mp"))
+    results = _run_workers(tmp_path, 2, extra_args=[data_dir])
+
+    ev0, ev1 = results[0]["eval"], results[1]["eval"]
+    assert ev0["has_summary"] is True      # rank 0 ran COCOeval
+    assert ev1["has_summary"] is False     # rank 1 returned early
+
+    from yolox_tpu.models.yolox import YoloxModule
+
+    cfg = make_tiny_eval_config(data_dir)
+    module = YoloxModule.from_config(cfg)  # same seeded weights as workers
+    evaluator = cfg.get_evaluator(batch_size=4, is_distributed=False)
+    (ap50_95, ap50, summary), outputs = evaluator.evaluate(
+        module, distributed=False, return_outputs=True)
+
+    assert summary is not None
+    assert outputs, "no detections produced — comparison would be vacuous"
+    assert ev0["ap50_95"] == pytest.approx(float(ap50_95), abs=1e-6)
+    assert ev0["ap50"] == pytest.approx(float(ap50), abs=1e-6)

@@ -1,0 +1,155 @@
+"""End-to-end test of the pretrained-parity gate
+(`scripts/verify_pretrained.py`) without network access.
+
+A random-weight checkpoint is generated FROM THE REFERENCE TORCH MODEL,
+its golden detections computed by the reference's own inference pipeline
+(processor -> torch module -> postprocess), and the harness must (a) pass
+on that checkpoint/expectation pair — i.e. our full pipeline reproduces
+the reference's detections within the oracle tolerances — and (b) fail
+with the right exit codes when the expectations are perturbed or the
+weights are missing.
+"""
+
+import glob
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests._reference_oracle import load_reference, reference_available
+
+SCRIPTS = Path(__file__).resolve().parent.parent / "scripts"
+IMAGES = sorted(glob.glob("/root/reference/tests/data/*.jpg"))
+
+
+@pytest.fixture(scope="module")
+def fixture_ckpt(tmp_path_factory):
+    """Random-weight yolox_nano .pth + reference-pipeline expectations."""
+    if not reference_available() or not IMAGES:
+        pytest.skip("/root/reference not available")
+    load_reference()
+    import torch
+    from PIL import Image
+    from yolox.config import YoloxConfig as RefConfig
+    from yolox.models.processor import YoloxProcessor as RefProcessor
+    from yolox.models.yolox import Yolox as RefYolox
+
+    torch.manual_seed(1)
+    cfg = RefConfig.get_named_config("yolox_nano")
+    model = cfg.get_model()
+    model.eval()
+    model.head.training = False
+    model.training = False
+    # At init the features feeding the prediction convs are ~1e-7 and the
+    # prior-prob bias (-4.6) suppresses every score, so a plain random
+    # checkpoint detects nothing. Amplify the prediction-conv weights so
+    # the (image-dependent) features drive the logits. Tuning constraints:
+    # scores must clear the 0.5 threshold and each other by >> the f32
+    # parity error (stable count and ordering), and the reg std must keep
+    # exp(wh) boxes small enough that the 1e-2 absolute box tolerance
+    # isn't swamped by f32 roundoff (relative ~3e-6) on huge coordinates.
+    # This seed/std/bias triple yields 8/14/1 detections with box err
+    # <= 3.4e-4 and score err <= 3.4e-6 against the reference pipeline.
+    with torch.no_grad():
+        for conv in model.head.obj_preds:
+            conv.weight.normal_(0, 1e6)
+            conv.bias.fill_(-3.4)
+        for conv in model.head.cls_preds:
+            conv.weight.normal_(0, 1e6)
+            conv.bias.fill_(0.0)
+        for conv in model.head.reg_preds:
+            conv.weight.normal_(0, 3e5)
+            conv.bias.zero_()
+
+    tmp = tmp_path_factory.mktemp("parity_fixture")
+    ckpt = tmp / "yolox_nano.pth"
+    torch.save({"model": model.state_dict()}, ckpt)
+
+    ref = RefYolox(model, RefProcessor(cfg))
+    with torch.no_grad():
+        results = ref([Image.open(p) for p in IMAGES], threshold=0.5)
+    assert any(len(r["labels"]) for r in results), (
+        "fixture produced no detections; the parity check would be vacuous")
+    expectations = {"yolox_nano": [
+        {"labels": [int(x) for x in r["labels"]],
+         "scores": [float(x) for x in r["scores"]],
+         "bboxes": [[float(v) for v in b] for b in r["bboxes"]]}
+        for r in results
+    ]}
+    exp_path = tmp / "expectations.json"
+    exp_path.write_text(json.dumps(expectations))
+    return tmp, ckpt, exp_path, expectations
+
+
+def _run(argv):
+    sys.path.insert(0, str(SCRIPTS))
+    try:
+        import verify_pretrained
+    finally:
+        sys.path.pop(0)
+    return verify_pretrained.main(argv)
+
+
+def test_gate_passes_on_reference_fixture(fixture_ckpt, tmp_path):
+    tmp, ckpt, exp_path, _ = fixture_ckpt
+    out = tmp_path / "PARITY.json"
+    rc = _run(["--models", "yolox_nano", "--weights-dir", str(tmp),
+               "--expectations", str(exp_path), "--skip-map",
+               "--out", str(out)])
+    report = json.loads(out.read_text())
+    entry = report["models"]["yolox_nano"]
+    assert rc == 0, entry
+    assert entry["goldens"]["status"] == "pass"
+    assert report["verdict"] == "parity-verified"
+
+
+def test_gate_fails_on_perturbed_expectations(fixture_ckpt, tmp_path):
+    tmp, ckpt, exp_path, expectations = fixture_ckpt
+    bad = json.loads(json.dumps(expectations))
+    for img in bad["yolox_nano"]:
+        for box in img["bboxes"]:
+            box[0] += 0.5  # well past the 1e-2 box tolerance
+    bad_path = tmp_path / "bad.json"
+    bad_path.write_text(json.dumps(bad))
+    out = tmp_path / "PARITY.json"
+    rc = _run(["--models", "yolox_nano", "--weights-dir", str(tmp),
+               "--expectations", str(bad_path), "--skip-map",
+               "--out", str(out)])
+    assert rc == 1
+    report = json.loads(out.read_text())
+    assert report["models"]["yolox_nano"]["goldens"]["status"] == "fail"
+    assert report["verdict"] == "PARITY-FAILED"
+
+
+def test_gate_reports_missing_weights(fixture_ckpt, tmp_path, monkeypatch):
+    # empty weights dir + no egress -> exit 2, "incomplete-evidence"
+    tmp, *_ = fixture_ckpt
+    import urllib.request
+
+    def _no_net(*a, **k):
+        raise OSError("no egress")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", _no_net)
+    out = tmp_path / "PARITY.json"
+    rc = _run(["--models", "yolox_tiny", "--weights-dir", str(tmp_path),
+               "--skip-map", "--out", str(out)])
+    assert rc == 2
+    report = json.loads(out.read_text())
+    assert report["models"]["yolox_tiny"]["weights"] == "missing"
+    assert report["verdict"] == "incomplete-evidence"
+
+
+def test_map_leg_not_run_without_data(fixture_ckpt, tmp_path):
+    tmp, ckpt, exp_path, _ = fixture_ckpt
+    out = tmp_path / "PARITY.json"
+    rc = _run(["--models", "yolox_nano", "--weights-dir", str(tmp),
+               "--expectations", str(exp_path),
+               "--data-dir", str(tmp_path / "nonexistent"),
+               "--out", str(out)])
+    assert rc == 2
+    report = json.loads(out.read_text())
+    assert report["models"]["yolox_nano"]["map"]["status"] == "not-run"
+    np.testing.assert_allclose(
+        report["models"]["yolox_nano"]["map"]["expected_map"], 25.8)

@@ -289,6 +289,7 @@ class Trainer:
     def after_train(self):
         from yolox_tpu.utils.logger import restore_sys_output
 
+        self._stop_multiscale_warmup()
         restore_sys_output()
         logger.info("Training of experiment is done and the best AP is "
                     f"{self.best_ap * 100:.2f}")
@@ -455,16 +456,23 @@ class Trainer:
         sizes = [tuple(s) for s in self.exp.multiscale_sizes()
                  if tuple(s) != tuple(self.input_size)]
         self.warmup_compiled = 0
+        self._warmup_stop = threading.Event()
 
         def work():
+            done = 0
             for (th, tw) in sizes:
                 x_sds = sds(
                     x_proto, (batch_shape[0], th, tw, batch_shape[3]))
                 for step in (self._step, self._step_l1):
+                    if self._warmup_stop.is_set():
+                        return
                     try:
                         step.lower(state_sds, x_sds, target_sds,
                                    lr_sds).compile()
-                        self.warmup_compiled += 1
+                        done += 1
+                        # published only from this thread; readers see a
+                        # monotonic count
+                        self.warmup_compiled = done
                     except Exception as e:  # never take training down
                         logger.warning(
                             "multiscale warmup failed for %sx%s: %s",
@@ -474,6 +482,23 @@ class Trainer:
         self._warmup_thread = threading.Thread(
             target=work, daemon=True, name="multiscale-warmup")
         self._warmup_thread.start()
+
+    def _stop_multiscale_warmup(self, timeout: float = 300.0):
+        """Wait for the warmup thread; if it is still compiling after the
+        grace period, tell it to stop after the current compile so it
+        cannot outlive the trainer or contend with post-train work."""
+        th = getattr(self, "_warmup_thread", None)
+        if th is None or not th.is_alive():
+            return
+        th.join(timeout=timeout)
+        if th.is_alive():
+            self._warmup_stop.set()
+            th.join(timeout=timeout)
+            if th.is_alive():
+                logger.warning(
+                    "multiscale warmup thread still compiling after %.0fs; "
+                    "leaving the daemon to finish in the background",
+                    timeout)
 
     def _multiscale_resize(self, inps, targets):
         """On-device bilinear resize to the current multiscale size."""

@@ -410,55 +410,50 @@ class COCOeval:
     # ---------------------------------------------------------- summarize
 
     def summarize(self):
-        def _summarize(ap=1, iouThr=None, areaRng="all", maxDets=100):
-            p = self.params
-            iStr = (" {:<18} {} @[ IoU={:<9} | area={:>6s} | "
-                    "maxDets={:>3d} ] = {:0.3f}")
-            titleStr = "Average Precision" if ap == 1 else "Average Recall"
-            typeStr = "(AP)" if ap == 1 else "(AR)"
-            iouStr = ("{:0.2f}:{:0.2f}".format(p.iouThrs[0], p.iouThrs[-1])
-                      if iouThr is None else "{:0.2f}".format(iouThr))
-            aind = [i for i, a in enumerate(p.areaRngLbl) if a == areaRng]
-            mind = [i for i, m in enumerate(p.maxDets) if m == maxDets]
-            if ap == 1:
-                s = self.eval["precision"]
-                if iouThr is not None:
-                    t = np.where(iouThr == p.iouThrs)[0]
-                    s = s[t]
-                s = s[:, :, :, aind, mind]
-            else:
-                s = self.eval["recall"]
-                if iouThr is not None:
-                    t = np.where(iouThr == p.iouThrs)[0]
-                    s = s[t]
-                s = s[:, :, aind, mind]
-            if len(s[s > -1]) == 0:
-                mean_s = -1
-            else:
-                mean_s = np.mean(s[s > -1])
-            print(iStr.format(titleStr, typeStr, iouStr, areaRng, maxDets,
-                              mean_s))
-            return mean_s
+        """Print the 12 standard COCO metric lines and fill ``self.stats``.
 
+        Each stat is one row of a spec table: pick precision or recall,
+        optionally slice to a single IoU threshold, select one (area,
+        maxDets) cell, and average the valid (> -1) entries.  The last two
+        tensor axes are always (area, maxDets), so a single selection path
+        serves both the AP tensor (T, R, K, A, M) and the AR tensor
+        (T, K, A, M).
+        """
         if not self.eval:
             raise Exception("Please run accumulate() first")
-        stats = np.zeros((12,))
-        stats[0] = _summarize(1)
-        stats[1] = _summarize(1, iouThr=0.5, maxDets=self.params.maxDets[2])
-        stats[2] = _summarize(1, iouThr=0.75, maxDets=self.params.maxDets[2])
-        stats[3] = _summarize(1, areaRng="small",
-                              maxDets=self.params.maxDets[2])
-        stats[4] = _summarize(1, areaRng="medium",
-                              maxDets=self.params.maxDets[2])
-        stats[5] = _summarize(1, areaRng="large",
-                              maxDets=self.params.maxDets[2])
-        stats[6] = _summarize(0, maxDets=self.params.maxDets[0])
-        stats[7] = _summarize(0, maxDets=self.params.maxDets[1])
-        stats[8] = _summarize(0, maxDets=self.params.maxDets[2])
-        stats[9] = _summarize(0, areaRng="small",
-                              maxDets=self.params.maxDets[2])
-        stats[10] = _summarize(0, areaRng="medium",
-                               maxDets=self.params.maxDets[2])
-        stats[11] = _summarize(0, areaRng="large",
-                               maxDets=self.params.maxDets[2])
-        self.stats = stats
+        p = self.params
+        md = p.maxDets
+        # (metric, iouThr or None for the full range, area label, maxDets)
+        spec_rows = [
+            ("AP", None, "all", 100),
+            ("AP", 0.50, "all", md[2]),
+            ("AP", 0.75, "all", md[2]),
+            ("AP", None, "small", md[2]),
+            ("AP", None, "medium", md[2]),
+            ("AP", None, "large", md[2]),
+            ("AR", None, "all", md[0]),
+            ("AR", None, "all", md[1]),
+            ("AR", None, "all", md[2]),
+            ("AR", None, "small", md[2]),
+            ("AR", None, "medium", md[2]),
+            ("AR", None, "large", md[2]),
+        ]
+        full_range = "{:0.2f}:{:0.2f}".format(p.iouThrs[0], p.iouThrs[-1])
+        self.stats = np.zeros(len(spec_rows))
+        for i, (metric, iou, area, max_det) in enumerate(spec_rows):
+            s = self.eval["precision" if metric == "AP" else "recall"]
+            if iou is not None:
+                s = s[p.iouThrs == iou]
+            # select the (area, maxDets) cell; an unknown label/count gives
+            # an empty selection and therefore a -1 stat, like pycocotools
+            a = [j for j, lbl in enumerate(p.areaRngLbl) if lbl == area]
+            m = [j for j, n in enumerate(md) if n == max_det]
+            vals = s[..., a, m]
+            vals = vals[vals > -1]
+            self.stats[i] = vals.mean() if vals.size else -1.0
+            title = ("Average Precision" if metric == "AP"
+                     else "Average Recall")
+            iou_str = full_range if iou is None else "{:0.2f}".format(iou)
+            print(" {:<18} ({}) @[ IoU={:<9} | area={:>6s} | maxDets={:>3d}"
+                  " ] = {:0.3f}".format(title, metric, iou_str, area,
+                                        max_det, self.stats[i]))

@@ -39,15 +39,34 @@ from jax.experimental.pallas import tpu as pltpu
 PAD = 114.0
 
 
-def default_margin(s: int) -> int:
-    """Shear slack: the decomposed passes need
-    |slope| * (S + margin) <= margin, i.e. margin >= slope*S/(1-slope).
-    Sized for slope 0.22 (~12.5 deg combined rotation+shear — above the
-    config maximum degrees=10 + shear=2), rounded to 64 for lane-friendly
-    working widths. 640px -> 192 (working grid 1024, was a fixed 256 ->
-    1152: 27% less pass-1/transpose work)."""
-    need = 0.22 * s / 0.78
+def margin_for_slope(s: int, slope: float) -> int:
+    """Shear slack for a given |slope| bound: the decomposed passes need
+    |slope| * (S + margin) <= margin, i.e. margin >= slope*S/(1-slope),
+    rounded to 64 for lane-friendly working widths."""
+    if slope >= 0.85:
+        raise ValueError(
+            f"affine slope bound {slope:.2f} too large for the decomposed "
+            "warp (combined rotation+shear must stay well below 45 deg)")
+    need = slope * s / (1.0 - slope)
     return max(128, int(math.ceil(need / 64.0)) * 64)
+
+
+def margin_for(s: int, degrees: float, shear: float) -> int:
+    """Margin sized for actual augmentation ranges. The decomposed shear
+    slopes |cl|, |uu| are bounded by tan(degrees + 2*shear) (rotation
+    mixes into both passes; each shear axis contributes once to its own
+    pass and once through the LDU cross term). Floored at the legacy
+    slope-0.22 envelope so default configs keep their proven margins."""
+    slope = math.tan(math.radians(abs(degrees) + 2.0 * abs(shear)))
+    return margin_for_slope(s, max(slope, 0.22))
+
+
+def default_margin(s: int) -> int:
+    """Legacy default: slope 0.22 (~12.5 deg combined rotation+shear —
+    above the config maximum degrees=10 + shear=2). 640px -> 192 (working
+    grid 1024, was a fixed 256 -> 1152: 27% less pass-1/transpose work).
+    Callers with non-default degrees/shear should use `margin_for`."""
+    return margin_for_slope(s, 0.22)
 
 
 MARGIN = 256  # legacy fixed slack (callers now default to default_margin)

@@ -4,12 +4,14 @@ The reference uses loguru with stdout/stderr redirection so third-party
 prints (pycocotools chatter etc.) become log records; we use the stdlib
 logging module with the same surface: `setup_logger(save_dir, rank,
 filename)` logs to stderr + file on rank 0 only, and `capture_std=True`
-(the default, as in the reference) routes sys.stdout/sys.stderr writes
-into the logger — and therefore into the log file.
+(off by default; the trainer and eval CLI pass it explicitly) routes
+sys.stdout/sys.stderr writes into the logger — and therefore into the
+log file.
 """
 
 from __future__ import annotations
 
+import io
 import logging
 import os
 import sys
@@ -42,6 +44,12 @@ class _StreamToLogger:
 
     def isatty(self):
         return False
+
+    def fileno(self):
+        # no real descriptor backs this stream; raising the io-standard
+        # error lets probing code (subprocess, tqdm) fall back cleanly
+        # instead of writing past the logger
+        raise io.UnsupportedOperation("fileno")
 
     def writable(self):
         return True
