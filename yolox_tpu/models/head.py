@@ -141,6 +141,20 @@ class YoloxHead(Module):
         Used by the fused serving path, which decodes only the top-k
         candidates (`yolox_tpu/ops/nms.py:postprocess_fused`).
         """
+        outs, grids, strides = self.forward_raw_levels(p, xin, ctx, path)
+        return (jnp.concatenate(outs, axis=1),
+                jnp.concatenate(grids, axis=0),
+                jnp.concatenate(strides, axis=0))
+
+    def forward_raw_levels(self, p, xin, ctx=EVAL_CTX, path=""):
+        """Per-level `forward_raw`: ([outputs_l], [grid_l], [stride_l]).
+
+        Same rows as `forward_raw` split at level boundaries, NOT
+        concatenated — the fused serving postprocess reduces each level to
+        its per-anchor score + 10-column candidate payload first and only
+        concatenates those, so the full (B, A, 5+C) tensor (~154 MB for
+        nano b256, ~365 MB for s) is never written to HBM.
+        """
         levels = self._level_outputs(p, xin, ctx, path)
         outs, grids, strides = [], [], []
         for (reg, obj, cls), stride in zip(levels, self.strides):
@@ -151,9 +165,7 @@ class YoloxHead(Module):
             grids.append(level_grid(h, w, out.dtype))
             strides.append(
                 jnp.full((h * w, 1), stride, out.dtype))
-        return (jnp.concatenate(outs, axis=1),
-                jnp.concatenate(grids, axis=0),
-                jnp.concatenate(strides, axis=0))
+        return outs, grids, strides
 
     def __call__(self, p, xin, ctx=EVAL_CTX, path=""):
         """Inference forward: decoded (B, n_anchors_all, 5 + num_classes).

@@ -190,15 +190,16 @@ class YoloxModule:
         directly (4x cheaper host->device transfer than f32 letterboxed
         batches; the cast happens on device).
         """
-        from yolox_tpu.ops.nms import postprocess_fused
+        from yolox_tpu.ops.nms import postprocess_fused_levels
 
         if x.dtype == jnp.uint8 or self.dtype != jnp.float32:
             x = x.astype(self.dtype)
         fpn_outs = self.backbone(params["backbone"], x)
-        raw, grid, stride = self.head.forward_raw(params["head"], fpn_outs)
-        return postprocess_fused(
-            raw, grid, stride, self.head.num_classes, conf_thre, nms_thre,
-            class_agnostic, max_det)
+        outs, grids, strides = self.head.forward_raw_levels(
+            params["head"], fpn_outs)
+        return postprocess_fused_levels(
+            outs, grids, strides, self.head.num_classes, conf_thre,
+            nms_thre, class_agnostic, max_det)
 
     def serve_jit(self, x, conf_thre: float = 0.5, nms_thre: float = 0.65,
                   max_det: int = 256):

@@ -181,53 +181,108 @@ def postprocess_fused(
     A=8400 that is ~730 MB of HBM traffic per batch the non-fused path
     pays. Same output contract as `postprocess_device`; bitwise-identical
     to it when `outputs` is f32.
+
+    Everything a selected candidate needs — box regressors, objectness,
+    class score/index, its anchor's grid cell and stride — is packed into
+    ONE (B, A, 10) payload table so selection is a single row gather.
+    Five separate vmapped gathers from (A, ·) tables were the serving
+    postprocess hotspot (~2.8 ms/batch of the nano b256 pipeline's 14.5 ms
+    device time — each gather is row-fetch-bound, so width is nearly free
+    and count is everything). The class index, grid coordinates and strides
+    are small integers, exact in bf16 (|v| < 256).
     """
+    masked, tbl = _score_and_payload(
+        outputs, grid, stride, num_classes, conf_thre)
+    return _select_decode_nms(
+        masked, tbl, conf_thre, nms_thre, class_agnostic, max_det)
 
-    def per_image(out):
-        class_conf = jnp.max(out[:, 5:5 + num_classes], axis=1)
-        class_pred = jnp.argmax(out[:, 5:5 + num_classes], axis=1)
-        score = out[:, 4] * class_conf
-        masked = jnp.where(score >= conf_thre, score, NEG_INF_SCORE)
 
-        k = min(max_det, out.shape[0])
-        _, top_idx = jax.lax.top_k(masked, k)
+def postprocess_fused_levels(
+    outs,
+    grids,
+    strides,
+    num_classes: int,
+    conf_thre: float = 0.7,
+    nms_thre: float = 0.45,
+    class_agnostic: bool = False,
+    max_det: int = 256,
+):
+    """`postprocess_fused` on per-level raw outputs (identical results).
 
-        # gather only the needed columns (never the C class columns),
-        # then decode + rescore the k candidates in f32
-        cand = out[:, :5][top_idx].astype(jnp.float32)   # (k, 5)
-        g = grid[top_idx].astype(jnp.float32)            # (k, 2)
-        s = stride[top_idx].astype(jnp.float32)          # (k, 1)
-        cxy = (cand[:, 0:2] + g) * s
-        wh = jnp.exp(cand[:, 2:4]) * s
-        box_xyxy = jnp.concatenate(
-            [cxy - wh / 2, cxy + wh / 2], axis=1)
-        obj = cand[:, 4]
-        class_conf_k = class_conf[top_idx].astype(jnp.float32)
-        cls_k = class_pred[top_idx]
-        top_scores = obj * class_conf_k
-        valid = top_scores >= conf_thre
+    Takes `YoloxHead.forward_raw_levels` lists and reduces each level to
+    its (B, A_l) masked score + (B, A_l, 10) payload before concatenating,
+    so the full (B, A, 5+C) tensor is never materialized (per-class max /
+    argmax commute with row concatenation). Saves a write+read of ~154 MB
+    (nano b256) to ~365 MB (s) per batch over the concatenated path.
+    """
+    pieces = [
+        _score_and_payload(o, g, s, num_classes, conf_thre)
+        for o, g, s in zip(outs, grids, strides)
+    ]
+    masked = jnp.concatenate([m for m, _ in pieces], axis=1)
+    tbl = jnp.concatenate([t for _, t in pieces], axis=1)
+    return _select_decode_nms(
+        masked, tbl, conf_thre, nms_thre, class_agnostic, max_det)
 
+
+def _score_and_payload(outputs, grid, stride, num_classes, conf_thre):
+    """(B, A) masked scores + (B, A, 10) candidate payload table
+    (x, y, w, h, obj, cls_conf, cls_idx, gx, gy, stride)."""
+    b, a = outputs.shape[0], outputs.shape[1]
+    dt = outputs.dtype
+    cls_scores = outputs[..., 5:5 + num_classes]
+    class_conf = jnp.max(cls_scores, axis=-1)
+    class_pred = jnp.argmax(cls_scores, axis=-1)
+    score = outputs[..., 4] * class_conf
+    masked = jnp.where(score >= conf_thre, score, NEG_INF_SCORE)
+
+    tbl = jnp.concatenate(
+        [
+            outputs[..., :5],
+            class_conf[..., None],
+            class_pred.astype(dt)[..., None],
+            jnp.broadcast_to(grid.astype(dt)[None], (b, a, 2)),
+            jnp.broadcast_to(stride.astype(dt)[None], (b, a, 1)),
+        ],
+        axis=-1,
+    )
+    return masked, tbl
+
+
+def _select_decode_nms(masked, tbl, conf_thre, nms_thre, class_agnostic,
+                       max_det):
+    a = masked.shape[1]
+    k = min(max_det, a)
+    _, top_idx = jax.lax.top_k(masked, k)
+    cand = jnp.take_along_axis(
+        tbl, top_idx[..., None], axis=1).astype(jnp.float32)   # (B, k, 10)
+
+    s = cand[..., 9:10]
+    cxy = (cand[..., 0:2] + cand[..., 7:9]) * s
+    wh = jnp.exp(cand[..., 2:4]) * s
+    box_xyxy = jnp.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
+    obj = cand[..., 4]
+    class_conf_k = cand[..., 5]
+    cls_k = cand[..., 6]
+    top_scores = obj * class_conf_k
+    valid = top_scores >= conf_thre
+
+    def per_image_nms(boxes, scores, classes, vmask):
         if class_agnostic:
-            keep = nms_fixed(box_xyxy, top_scores, nms_thre, valid)
-        else:
-            keep = batched_nms_fixed(box_xyxy, top_scores, cls_k, nms_thre,
-                                     valid)
+            return nms_fixed(boxes, scores, nms_thre, vmask)
+        return batched_nms_fixed(boxes, scores, classes, nms_thre, vmask)
 
-        det = jnp.concatenate(
-            [
-                box_xyxy,
-                obj[:, None],
-                class_conf_k[:, None],
-                cls_k[:, None].astype(jnp.float32),
-            ],
-            axis=1,
-        )
-        order = jnp.argsort(~keep, stable=True)
-        det = det[order]
-        keep = keep[order]
-        if k < max_det:
-            det = jnp.pad(det, ((0, max_det - k), (0, 0)))
-            keep = jnp.pad(keep, (0, max_det - k))
-        return det, keep
+    keep = jax.vmap(per_image_nms)(box_xyxy, top_scores, cls_k, valid)
 
-    return jax.vmap(per_image)(outputs)
+    det = jnp.concatenate(
+        [box_xyxy, obj[..., None], class_conf_k[..., None], cls_k[..., None]],
+        axis=-1,
+    )
+    # Compact kept rows to the front, preserving score order.
+    order = jnp.argsort(~keep, axis=-1, stable=True)
+    det = jnp.take_along_axis(det, order[..., None], axis=1)
+    keep = jnp.take_along_axis(keep, order, axis=1)
+    if k < max_det:
+        det = jnp.pad(det, ((0, 0), (0, max_det - k), (0, 0)))
+        keep = jnp.pad(keep, ((0, 0), (0, max_det - k)))
+    return det, keep
