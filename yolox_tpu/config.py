@@ -87,6 +87,23 @@ class YoloxConfig:
     # activation memory ~O(1 layer) for ~1 extra forward of compute —
     # enables large-batch yolox-l/x training on a single chip
     remat: bool = False
+    # lane-dense folding of the small-channel backbone stages in the
+    # TRAIN step (yolox_tpu/ops/lane_fold.py): stem/dark2/dark3 run on a
+    # width-folded representation so C<128 activations stop paying the
+    # TPU's 128-lane padding through HBM (measured 470 -> 547 img/s on
+    # the yolox-s b64 step). Exact (same math, summation order aside);
+    # parameters and checkpoints are unchanged. Serving/eval always runs
+    # plain — folding trades FLOPs for bytes, a loss on the
+    # compute-bound serving path.
+    lane_fold: bool = True
+    # fused custom-vjp backward for the Conv->BN->act blocks
+    # (yolox_tpu/ops/pallas_conv_bwd.py). Measured on a v5e (yolox-s b64):
+    # XLA autodiff of the unfused composite is FASTER (136 ms vs 155 ms
+    # stage-1 / 207 ms Pallas) — XLA's backward already runs at the
+    # padded-layout HBM roofline, so the hand-restructured passes only
+    # add bytes. Kept as an opt-in for future hardware/compilers; see
+    # docs/train_step_performance.md ("fused backward: negative result").
+    fused_conv_bwd: bool = False
     # run mosaic/affine/MixUp/HSV/flip on the TPU instead of host cv2
     # (yolox_tpu/data/device_augment.py) — for CPU-poor TPU hosts where
     # the input pipeline cannot feed the chips

@@ -78,6 +78,7 @@ def make_train_step(
     freeze_prefix: Optional[str] = None,
     remat: bool = False,
     num_candidates: Optional[int] = None,
+    fused_bwd: bool = False,
 ):
     """Returns step(state, x, labels, lr) -> (state, metrics).
 
@@ -109,7 +110,8 @@ def make_train_step(
         def forward(params, xin):
             collector = BNCollector()
             head_out = module.apply_train(
-                params, xin, collector, freeze_prefix=freeze_prefix)
+                params, xin, collector, freeze_prefix=freeze_prefix,
+                fused_bwd=fused_bwd)
             return head_out, collector.updates
 
         if remat:

@@ -232,6 +232,7 @@ class Trainer:
             freeze_prefix=getattr(self.exp, "freeze_prefix", None),
             remat=getattr(self.exp, "remat", False),
             num_candidates=getattr(self.exp, "simota_candidates", None),
+            fused_bwd=getattr(self.exp, "fused_conv_bwd", False),
         )
         self._step = make_train_step(
             self.module, self.exp.num_classes, use_l1=False, **common)

@@ -130,13 +130,32 @@ class Ctx:
     train: bool = False
     collector: Optional[BNCollector] = None
     eval_prefix: Optional[str] = None
+    # Route BaseConv's train-mode conv->BN->act composite through the
+    # fused-backward custom_vjp (yolox_tpu/ops/pallas_conv_bwd.py):
+    # identical forward semantics, ~3-pass backward instead of XLA
+    # autodiff's 4-5 re-reads per block. Config knob `fused_conv_bwd`.
+    fused_bwd: bool = False
+    # Execute blocks constructed with fold factors > 1 on the lane-dense
+    # folded representation (yolox_tpu/ops/lane_fold.py). Default False:
+    # folding trades k x folded-conv FLOPs for lane-dense HBM traffic,
+    # which pays off in the bandwidth-bound TRAIN step (apply_train sets
+    # this) but regresses the compute-bound serving path. CspDarknet
+    # clears it per-call when the input width does not divide the fold
+    # chain, so every block under it consistently runs plain.
+    lane_fold: bool = False
 
 
 EVAL_CTX = Ctx(train=False, collector=None)
 
 
-def batch_norm(p: Params, x, ctx: Ctx, path: str):
-    """BatchNorm2d over NHWC, torch-exact semantics (see module docstring)."""
+def batch_norm(p: Params, x, ctx: Ctx, path: str, fold: int = 1):
+    """BatchNorm2d over NHWC, torch-exact semantics (see module docstring).
+
+    `fold` > 1: `x` is a channel-major lane-folded tensor (C*fold lanes,
+    yolox_tpu/ops/lane_fold.py) — batch statistics pool the fold slots
+    back to the C logical channels (same value set, same formulas), and
+    scale/bias are repeated per slot. Running stats stay logical (C,).
+    """
     gamma = p["weight"]
     beta = p["bias"]
     frozen = ctx.eval_prefix is not None and path.startswith(ctx.eval_prefix)
@@ -150,11 +169,19 @@ def batch_norm(p: Params, x, ctx: Ctx, path: str):
         # chain single-consumer fuses it into its reduce, so both stat
         # passes read the bf16 tensor directly with f32 accumulation —
         # same two-pass mean/E[(x-mean)^2] formulas, same numerics.
-        mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
-        diff = x.astype(jnp.float32) - mean
-        var = jnp.mean(diff * diff, axis=(0, 1, 2))
+        sdt = jnp.promote_types(x.dtype, jnp.float32)
+        if fold == 1:
+            mean = jnp.mean(x, axis=(0, 1, 2), dtype=sdt)
+            diff = x.astype(sdt) - mean
+            var = jnp.mean(diff * diff, axis=(0, 1, 2))
+        else:
+            mean_f = jnp.mean(x, axis=(0, 1, 2), dtype=sdt)
+            mean = jnp.mean(mean_f.reshape(-1, fold), axis=1)
+            diff = x.astype(sdt) - jnp.repeat(mean, fold)
+            var_f = jnp.mean(diff * diff, axis=(0, 1, 2))
+            var = jnp.mean(var_f.reshape(-1, fold), axis=1)
         if ctx.collector is not None:
-            n = x.shape[0] * x.shape[1] * x.shape[2]
+            n = x.shape[0] * x.shape[1] * x.shape[2] * fold
             unbiased = var * (n / max(n - 1, 1))
             m = BN_MOMENTUM
             new_mean = (1 - m) * p["running_mean"] + m * mean
@@ -165,9 +192,13 @@ def batch_norm(p: Params, x, ctx: Ctx, path: str):
     else:
         mean = p["running_mean"]
         var = p["running_var"]
-    inv = jax.lax.rsqrt(var.astype(jnp.float32) + BN_EPS)
+    inv = jax.lax.rsqrt(var.astype(jnp.promote_types(x.dtype, jnp.float32))
+                        + BN_EPS)
     scale = (gamma * inv).astype(x.dtype)
     bias = (beta - mean * gamma * inv).astype(x.dtype)
+    if fold > 1:
+        scale = jnp.repeat(scale, fold)
+        bias = jnp.repeat(bias, fold)
     return x * scale + bias
 
 
@@ -230,11 +261,19 @@ class Sequential(Module):
 
 
 class BaseConv(Module):
-    """Conv2d -> BatchNorm -> activation (`network_blocks.py:27-52`)."""
+    """Conv2d -> BatchNorm -> activation (`network_blocks.py:27-52`).
 
-    def __init__(self, cin, cout, ksize, stride, groups=1, act="silu"):
+    `fold_in`/`fold_out` > 1: operate on the channel-major lane-folded
+    representation (yolox_tpu/ops/lane_fold.py) when `ctx.lane_fold` —
+    same math, lane-dense HBM traffic. Parameter shapes are unchanged.
+    """
+
+    def __init__(self, cin, cout, ksize, stride, groups=1, act="silu",
+                 fold_in=1, fold_out=1):
         self.cin, self.cout = cin, cout
         self.ksize, self.stride, self.groups = ksize, stride, groups
+        self.fold_in, self.fold_out = fold_in, fold_out
+        self.act_name = act
         self.act = get_activation(act)
 
     def init(self, rng) -> Params:
@@ -248,17 +287,50 @@ class BaseConv(Module):
         }
 
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        bn_path = f"{path}.bn"
+        if ctx.lane_fold and (self.fold_in > 1 or self.fold_out > 1):
+            from yolox_tpu.ops import lane_fold as lf
+            pad = (self.ksize - 1) // 2
+            y = lf.fold_conv(x, p["conv"]["weight"], self.stride,
+                             (pad, pad), self.fold_in, self.fold_out,
+                             groups=self.groups)
+            y = batch_norm(p["bn"], y, ctx, bn_path, fold=self.fold_out)
+            return self.act(y)
+        frozen = (ctx.eval_prefix is not None
+                  and bn_path.startswith(ctx.eval_prefix))
+        if ctx.train and not frozen and ctx.fused_bwd:
+            from yolox_tpu.ops import pallas_conv_bwd as pcb
+            if pcb.supports(self.ksize, self.stride, self.groups,
+                            self.act_name):
+                bn = p["bn"]
+                y, mean, var = pcb.fused_conv_bn_act(
+                    self.ksize, self.stride, self.groups, self.act_name,
+                    x, p["conv"]["weight"], bn["weight"], bn["bias"])
+                if ctx.collector is not None:
+                    n = y.shape[0] * y.shape[1] * y.shape[2]
+                    unbiased = var * (n / max(n - 1, 1))
+                    m = BN_MOMENTUM
+                    ctx.collector.put(
+                        bn_path,
+                        (1 - m) * bn["running_mean"] + m * mean,
+                        (1 - m) * bn["running_var"] + m * unbiased,
+                        bn["num_batches_tracked"] + 1,
+                    )
+                return y
         y = conv2d(x, p["conv"]["weight"], self.stride, self.groups)
-        y = batch_norm(p["bn"], y, ctx, f"{path}.bn")
+        y = batch_norm(p["bn"], y, ctx, bn_path)
         return self.act(y)
 
 
 class DWConv(Module):
     """Depthwise conv + pointwise conv (`network_blocks.py:55-74`)."""
 
-    def __init__(self, cin, cout, ksize, stride=1, act="silu"):
-        self.dconv = BaseConv(cin, cin, ksize, stride, groups=cin, act=act)
-        self.pconv = BaseConv(cin, cout, 1, 1, groups=1, act=act)
+    def __init__(self, cin, cout, ksize, stride=1, act="silu",
+                 fold_in=1, fold_out=1):
+        self.dconv = BaseConv(cin, cin, ksize, stride, groups=cin, act=act,
+                              fold_in=fold_in, fold_out=fold_out)
+        self.pconv = BaseConv(cin, cout, 1, 1, groups=1, act=act,
+                              fold_in=fold_out, fold_out=fold_out)
 
     def init(self, rng) -> Params:
         return {"dconv": self.dconv.init(rng), "pconv": self.pconv.init(rng)}
@@ -272,11 +344,13 @@ class Bottleneck(Module):
     """Standard bottleneck (`network_blocks.py:77-99`)."""
 
     def __init__(self, cin, cout, shortcut=True, expansion=0.5,
-                 depthwise=False, act="silu"):
+                 depthwise=False, act="silu", fold=1):
         hidden = int(cout * expansion)
         Conv = DWConv if depthwise else BaseConv
-        self.conv1 = BaseConv(cin, hidden, 1, 1, act=act)
-        self.conv2 = Conv(hidden, cout, 3, stride=1, act=act)
+        self.conv1 = BaseConv(cin, hidden, 1, 1, act=act,
+                              fold_in=fold, fold_out=fold)
+        self.conv2 = Conv(hidden, cout, 3, stride=1, act=act,
+                          fold_in=fold, fold_out=fold)
         self.use_add = shortcut and cin == cout
 
     def init(self, rng) -> Params:
@@ -348,14 +422,18 @@ class CspLayer(Module):
     """C3: CSP bottleneck with 3 convs (`network_blocks.py:145-183`)."""
 
     def __init__(self, cin, cout, n=1, shortcut=True, expansion=0.5,
-                 depthwise=False, act="silu"):
+                 depthwise=False, act="silu", fold=1):
         hidden = int(cout * expansion)
-        self.conv1 = BaseConv(cin, hidden, 1, 1, act=act)
-        self.conv2 = BaseConv(cin, hidden, 1, 1, act=act)
-        self.conv3 = BaseConv(2 * hidden, cout, 1, 1, act=act)
+        self.conv1 = BaseConv(cin, hidden, 1, 1, act=act,
+                              fold_in=fold, fold_out=fold)
+        self.conv2 = BaseConv(cin, hidden, 1, 1, act=act,
+                              fold_in=fold, fold_out=fold)
+        self.conv3 = BaseConv(2 * hidden, cout, 1, 1, act=act,
+                              fold_in=fold, fold_out=fold)
         self.m = Sequential(
             *[
-                Bottleneck(hidden, hidden, shortcut, 1.0, depthwise, act=act)
+                Bottleneck(hidden, hidden, shortcut, 1.0, depthwise, act=act,
+                           fold=fold)
                 for _ in range(n)
             ]
         )
@@ -391,10 +469,11 @@ class Focus(Module):
     loop-invariant and hoisted by XLA. The checkpoint layout is untouched.
     """
 
-    def __init__(self, cin, cout, ksize=1, stride=1, act="silu"):
+    def __init__(self, cin, cout, ksize=1, stride=1, act="silu", fold_out=1):
         assert stride == 1, "reference Focus always uses stride 1"
         self.cin = cin
         self.ksize = ksize
+        self.fold_out = fold_out
         self.conv = BaseConv(cin * 4, cout, ksize, stride, act=act)
 
     def init(self, rng) -> Params:
@@ -415,6 +494,16 @@ class Focus(Module):
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
         k = self.ksize
         wb = self._space_to_depth_kernel(p["conv"]["conv"]["weight"])
+        if ctx.lane_fold and self.fold_out > 1:
+            # image folded by 2*fold_out (stride 2, folded stride 1): the
+            # raw (B, H, W, 3) input goes lane-dense before the first conv
+            from yolox_tpu.ops import lane_fold as lf
+            k_img = 2 * self.fold_out
+            y = lf.fold_conv(lf.fold(x, k_img), wb, 2, (k - 1, k - 1),
+                             k_img, self.fold_out)
+            y = batch_norm(p["conv"]["bn"], y, ctx, f"{path}.conv.bn",
+                           fold=self.fold_out)
+            return self.conv.act(y)
         y = jax.lax.conv_general_dilated(
             x, wb.astype(x.dtype), (2, 2),
             ((k - 1, k - 1), (k - 1, k - 1)),

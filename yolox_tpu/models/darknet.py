@@ -31,7 +31,7 @@ class CspDarknet(Module):
 
     def __init__(self, dep_mul, wid_mul,
                  out_features=("dark3", "dark4", "dark5"),
-                 depthwise=False, act="silu"):
+                 depthwise=False, act="silu", lane_fold=True):
         assert out_features, "please provide output features of Darknet"
         self.out_features = out_features
         Conv = DWConv if depthwise else BaseConv
@@ -39,24 +39,39 @@ class CspDarknet(Module):
         base_channels = int(wid_mul * 64)
         base_depth = max(round(dep_mul * 3), 1)
 
-        self.stem = Focus(3, base_channels, ksize=3, act=act)
+        # Lane-dense folds for the small-channel stages
+        # (yolox_tpu/ops/lane_fold.py): fs halves per downsample, so the
+        # folded stride is 1 everywhere and k*C stays ~256 lanes.
+        from yolox_tpu.ops.lane_fold import stage_folds
+        fs, f2, f3, f4, f5 = (
+            stage_folds(base_channels) if lane_fold else (1, 1, 1, 1, 1))
+        assert f5 == 1, "SPP stage must be unfolded"
+        self.folds = (fs, f2, f3, f4, f5)
+        # the image itself is folded by 2*fs inside Focus
+        self.fold_divisor = 2 * fs
+
+        self.stem = Focus(3, base_channels, ksize=3, act=act, fold_out=fs)
         self.dark2 = Sequential(
-            Conv(base_channels, base_channels * 2, 3, 2, act=act),
+            Conv(base_channels, base_channels * 2, 3, 2, act=act,
+                 fold_in=fs, fold_out=f2),
             CspLayer(base_channels * 2, base_channels * 2, n=base_depth,
-                     depthwise=depthwise, act=act),
+                     depthwise=depthwise, act=act, fold=f2),
         )
         self.dark3 = Sequential(
-            Conv(base_channels * 2, base_channels * 4, 3, 2, act=act),
+            Conv(base_channels * 2, base_channels * 4, 3, 2, act=act,
+                 fold_in=f2, fold_out=f3),
             CspLayer(base_channels * 4, base_channels * 4, n=base_depth * 3,
-                     depthwise=depthwise, act=act),
+                     depthwise=depthwise, act=act, fold=f3),
         )
         self.dark4 = Sequential(
-            Conv(base_channels * 4, base_channels * 8, 3, 2, act=act),
+            Conv(base_channels * 4, base_channels * 8, 3, 2, act=act,
+                 fold_in=f3, fold_out=f4),
             CspLayer(base_channels * 8, base_channels * 8, n=base_depth * 3,
-                     depthwise=depthwise, act=act),
+                     depthwise=depthwise, act=act, fold=f4),
         )
         self.dark5 = Sequential(
-            Conv(base_channels * 8, base_channels * 16, 3, 2, act=act),
+            Conv(base_channels * 8, base_channels * 16, 3, 2, act=act,
+                 fold_in=f4, fold_out=f5),
             SPPBottleneck(base_channels * 16, base_channels * 16,
                           activation=act),
             CspLayer(base_channels * 16, base_channels * 16, n=base_depth,
@@ -73,15 +88,26 @@ class CspDarknet(Module):
         }
 
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        from yolox_tpu.ops.lane_fold import unfold
+
+        # Fold only when the input width divides the whole fold chain;
+        # otherwise run every stage plain (consistently, via the ctx flag).
+        folded = (ctx.lane_fold and self.fold_divisor > 1
+                  and x.shape[2] % self.fold_divisor == 0)
+        if ctx.lane_fold != folded:
+            import dataclasses
+            ctx = dataclasses.replace(ctx, lane_fold=folded)
+        folds = self.folds if folded else (1, 1, 1, 1, 1)
+
         outputs = {}
         x = self.stem(p["stem"], x, ctx, f"{path}.stem")
-        outputs["stem"] = x
+        outputs["stem"] = unfold(x, folds[0])
         x = self.dark2(p["dark2"], x, ctx, f"{path}.dark2")
-        outputs["dark2"] = x
+        outputs["dark2"] = unfold(x, folds[1])
         x = self.dark3(p["dark3"], x, ctx, f"{path}.dark3")
-        outputs["dark3"] = x
+        outputs["dark3"] = unfold(x, folds[2])
         x = self.dark4(p["dark4"], x, ctx, f"{path}.dark4")
-        outputs["dark4"] = x
+        outputs["dark4"] = unfold(x, folds[3])
         x = self.dark5(p["dark5"], x, ctx, f"{path}.dark5")
         outputs["dark5"] = x
         return {k: v for k, v in outputs.items() if k in self.out_features}

@@ -32,8 +32,10 @@ class YoloPafpn(Module):
         in_channels: Sequence[int] = (256, 512, 1024),
         depthwise: bool = False,
         act: str = "silu",
+        lane_fold: bool = True,
     ):
-        self.backbone = CspDarknet(depth, width, depthwise=depthwise, act=act)
+        self.backbone = CspDarknet(depth, width, depthwise=depthwise, act=act,
+                                   lane_fold=lane_fold)
         self.in_features = in_features
         self.in_channels = in_channels
         Conv = DWConv if depthwise else BaseConv

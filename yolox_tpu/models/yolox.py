@@ -135,7 +135,8 @@ class YoloxModule:
         in_channels = [256, 512, 1024]
         backbone = YoloPafpn(config.depth, config.width,
                              in_channels=in_channels,
-                             depthwise=config.depthwise, act=config.act)
+                             depthwise=config.depthwise, act=config.act,
+                             lane_fold=getattr(config, "lane_fold", True))
         head = YoloxHead(config.num_classes, config.width,
                          in_channels=in_channels,
                          depthwise=config.depthwise, act=config.act)
@@ -246,7 +247,9 @@ class YoloxModule:
         )
 
     def apply_train(self, params: dict, x, collector: Optional[BNCollector],
-                    freeze_prefix: Optional[str] = None):
+                    freeze_prefix: Optional[str] = None,
+                    fused_bwd: bool = False,
+                    lane_fold: bool = True):
         """Train-mode forward (pure): head training outputs + BN updates.
 
         Used by the training step (`yolox_tpu/core/train_step.py`); loss and
@@ -256,7 +259,8 @@ class YoloxModule:
         `model_utils.py:148-150`).
         """
         ctx = Ctx(train=True, collector=collector,
-                  eval_prefix=freeze_prefix)
+                  eval_prefix=freeze_prefix, fused_bwd=fused_bwd,
+                  lane_fold=lane_fold)
         fpn_outs = self.backbone(params["backbone"], x, ctx, "backbone")
         return self.head.forward_train(params["head"], fpn_outs, ctx, "head")
 
