@@ -166,8 +166,11 @@ def bench_train(name, batch, iters, remat=False, device_aug=False):
     lr = jnp.float32(0.01)
 
     if device_aug:
-        from yolox_tpu.data.device_augment import device_augment_batch
+        from yolox_tpu.core import make_augmented_train_step
 
+        step_aug = make_augmented_train_step(
+            module, cfg.num_classes, compute_dtype=jnp.bfloat16,
+            remat=remat)
         tiles = jnp.asarray(rng.integers(
             0, 255, (batch, 5, size, size, 3), dtype=np.uint8))
         hw = jnp.full((batch, 5, 2), float(size), jnp.float32)
@@ -176,10 +179,8 @@ def bench_train(name, batch, iters, remat=False, device_aug=False):
         key = jax.random.PRNGKey(0)
 
         def one_iter(state, i):
-            imgs, labels = device_augment_batch(
-                tiles, hw, raw_labels, jax.random.fold_in(key, i),
-                out_size=(size, size))
-            return step(state, imgs, labels, lr)
+            return step_aug(state, tiles, hw, raw_labels,
+                            jax.random.fold_in(key, i), lr, (size, size))
     else:
         x = jnp.asarray(rng.uniform(0, 255, (batch, size, size, 3)),
                         jnp.float32)

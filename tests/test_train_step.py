@@ -284,3 +284,100 @@ def test_overfit_two_images_yields_correct_detection(tiny_module):
     # centered inside the gt box (8 px slack: convergence at 600 chaotic
     # SGD steps is approximate; decode bugs are off by >> this)
     assert 32 < cx < 96 and 36 < cy < 92, top
+
+
+def test_fused_augment_step_matches_separate(tiny_module):
+    """make_augmented_train_step (ONE program) must equal
+    device_augment_batch -> make_train_step run as separate programs,
+    including the multiscale resize stage against the trainer's
+    `_multiscale_resize` math."""
+    from yolox_tpu.core import (
+        init_train_state,
+        make_augmented_train_step,
+        make_train_step,
+    )
+    from yolox_tpu.data.device_augment import device_augment_batch
+
+    module, cfg = tiny_module
+    size = 64
+    rng = np.random.default_rng(3)
+    b = 2
+    tiles = jnp.asarray(rng.integers(
+        0, 255, (b, 5, size, size, 3), dtype=np.uint8))
+    hw = jnp.full((b, 5, 2), float(size), jnp.float32)
+    labels = np.zeros((b, 5, 6, 5), np.float32)
+    labels[..., 0, :] = [10, 10, 40, 40, 1]
+    labels[..., 1, :] = [5, 20, 30, 55, 7]
+    labels = jnp.asarray(labels)
+    key = jax.random.PRNGKey(11)
+    lr = jnp.float32(0.01)
+
+    step = make_train_step(module, cfg.num_classes, use_ema=False)
+    fused = make_augmented_train_step(
+        module, cfg.num_classes, use_ema=False,
+        augment_kwargs=dict(max_labels=16))
+
+    # separate programs
+    imgs, packed = device_augment_batch(
+        tiles, hw, labels, key, out_size=(size, size), max_labels=16)
+    state_a = init_train_state(module.params, use_ema=False)
+    state_a, m_a = step(state_a, imgs, packed, lr)
+
+    # one fused program (train_size == out_size: no resize stage)
+    state_b = init_train_state(module.params, use_ema=False)
+    state_b, m_b = fused(state_b, tiles, hw, labels, key, lr,
+                         (size, size))
+    np.testing.assert_allclose(float(m_a["total_loss"]),
+                               float(m_b["total_loss"]), rtol=1e-6)
+    flat_a = jax.tree.leaves(state_a["params"])
+    flat_b = jax.tree.leaves(state_b["params"])
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-6)
+
+    # the fused resize stage == resize-then-step on the augmented batch
+    tsize = (96, 96)
+    sy, sx = tsize[0] / size, tsize[1] / size
+    imgs_r = jax.image.resize(
+        imgs, (b, tsize[0], tsize[1], 3), method="bilinear",
+        antialias=False)
+    packed_r = packed * jnp.asarray([1.0, sx, sy, sx, sy], packed.dtype)
+    state_c = init_train_state(module.params, use_ema=False)
+    state_c, m_c = step(state_c, imgs_r, packed_r, lr)
+    state_d = init_train_state(module.params, use_ema=False)
+    state_d, m_d = fused(state_d, tiles, hw, labels, key, lr,
+                         (size, size), tsize)
+    np.testing.assert_allclose(float(m_c["total_loss"]),
+                               float(m_d["total_loss"]), rtol=1e-6)
+
+
+def test_static_prob_fast_paths_match_generic(tiny_module):
+    """mosaic_prob/hsv_prob == 1.0 take trace-time fast paths (the plain
+    image path and the HSV select are skipped); the result must equal the
+    generic path at a prob of 1.0 - eps, which computes the selects."""
+    from yolox_tpu.data.device_augment import device_augment_batch
+
+    size = 64
+    rng = np.random.default_rng(5)
+    b = 3
+    tiles = jnp.asarray(rng.integers(
+        0, 255, (b, 5, size, size, 3), dtype=np.uint8))
+    hw = jnp.full((b, 5, 2), float(size), jnp.float32)
+    labels = np.zeros((b, 5, 4, 5), np.float32)
+    labels[..., 0, :] = [8, 8, 30, 30, 2]
+    labels = jnp.asarray(labels)
+    key = jax.random.PRNGKey(7)
+
+    img_fast, lab_fast = device_augment_batch(
+        tiles, hw, labels, key, out_size=(size, size), max_labels=8,
+        mosaic_prob=1.0, hsv_prob=1.0)
+    # 1 - 2^-30: every uniform draw in [0, 1) compares identically, but
+    # the < 1.0 trace-time branch is not taken
+    p = 1.0 - 2.0**-30
+    img_gen, lab_gen = device_augment_batch(
+        tiles, hw, labels, key, out_size=(size, size), max_labels=8,
+        mosaic_prob=p, hsv_prob=p)
+    np.testing.assert_allclose(np.asarray(img_fast), np.asarray(img_gen),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lab_fast), np.asarray(lab_gen),
+                               atol=1e-5)

@@ -79,6 +79,7 @@ def make_train_step(
     remat: bool = False,
     num_candidates: Optional[int] = None,
     fused_bwd: bool = False,
+    _jit: bool = True,
 ):
     """Returns step(state, x, labels, lr) -> (state, metrics).
 
@@ -175,4 +176,60 @@ def make_train_step(
             check_vma=False,
         )
 
+    if not _jit:  # composed into a larger program (make_augmented_train_step)
+        return step_local
     return jax.jit(step_local, donate_argnums=(0,))
+
+
+def make_augmented_train_step(module, num_classes: int, *,
+                              augment_kwargs: Optional[dict] = None,
+                              **step_kwargs):
+    """Fused on-device augmentation (+ multiscale resize) + train step:
+    ONE compiled program.
+
+    Returns step(state, tiles, hw, labels, key, lr, out_size, train_size)
+    where tiles/hw/labels/key are `device_augment_batch` inputs and
+    out_size/train_size are STATIC (h, w) (one compile per multiscale
+    bucket, like the plain step). The augmentation geometry always runs
+    at `out_size` (the config input size — geometry is size-relative);
+    when `train_size` differs, the batch is bilinearly resized on device
+    with label rescaling, matching the trainer's `_multiscale_resize`.
+
+    Fusing the programs removes the inter-program boundary (measured
+    ~6 ms/iter of launch/sync overhead on the tunneled v5e: separate
+    programs time 119.9 + 43.9 ms while their device op totals are
+    119.9 + 37.9) and lets XLA fuse the engine's final f32 image passes
+    into the step's bf16 input cast instead of materializing the f32
+    batch in HBM.
+
+    `augment_kwargs`: static `device_augment_batch` settings (degrees,
+    translate, scales, mixup_scale, shear, enable_mixup, *_prob,
+    max_labels). `step_kwargs` go to `make_train_step` (mesh etc. —
+    under a mesh the augmentation runs GSPMD-sharded along the batch
+    before the shard_map'd step).
+    """
+    from yolox_tpu.data.device_augment import device_augment_batch
+
+    aug = dict(augment_kwargs or {})
+    # run the engine's inter-stage image buffers in the step's compute
+    # dtype: pixels land there anyway, the buffers halve
+    aug.setdefault("image_dtype", step_kwargs.get("compute_dtype",
+                                                  jnp.float32))
+    step = make_train_step(module, num_classes, _jit=False, **step_kwargs)
+
+    def step_aug(state, tiles, hw, labels, key, lr, out_size,
+                 train_size=None):
+        imgs, packed = device_augment_batch(
+            tiles, hw, labels, key, out_size=out_size, **aug)
+        if train_size is not None and tuple(train_size) != tuple(out_size):
+            b, _, _, c = imgs.shape
+            imgs = jax.image.resize(
+                imgs, (b, train_size[0], train_size[1], c),
+                method="bilinear", antialias=False)
+            sy = train_size[0] / out_size[0]
+            sx = train_size[1] / out_size[1]
+            packed = packed * jnp.asarray(
+                [1.0, sx, sy, sx, sy], packed.dtype)
+        return step(state, imgs, packed, lr)
+
+    return jax.jit(step_aug, donate_argnums=(0,), static_argnums=(6, 7))

@@ -126,14 +126,25 @@ class Trainer:
         inps, targets, infos, _ = batch
         data_end_time = time.time()
 
-        if self._device_augment:
-            inps, targets = self._apply_device_augment(inps, targets, infos)
-        inps, targets = self._multiscale_resize(inps, targets)
         lr = self.lr_scheduler.update_lr(self.progress_in_iter + 1)
+        if self._device_augment and self._step_aug is not None:
+            # augment + multiscale resize + step as one compiled program
+            import jax
 
-        step = self._step_l1 if self.use_l1 else self._step
-        self.train_state, outputs = step(
-            self.train_state, inps, targets, jnp.float32(lr))
+            hw = jnp.asarray(np.stack([np.asarray(i) for i in infos]),
+                             jnp.float32)
+            if self._batch_sharding is not None:
+                hw = jax.device_put(hw, self._batch_sharding)
+            key = jax.random.fold_in(self._aug_key, self.progress_in_iter)
+            self.train_state, outputs = self._step_aug(
+                self.train_state, inps, hw, targets.astype(jnp.float32),
+                key, jnp.float32(lr), tuple(self.input_size),
+                tuple(self._current_size))
+        else:
+            inps, targets = self._multiscale_resize(inps, targets)
+            step = self._step_l1 if self.use_l1 else self._step
+            self.train_state, outputs = step(
+                self.train_state, inps, targets, jnp.float32(lr))
         self._maybe_warmup_multiscale(inps, targets)
 
         iter_end_time = time.time()
@@ -238,6 +249,29 @@ class Trainer:
             self.module, self.exp.num_classes, use_l1=False, **common)
         self._step_l1 = make_train_step(
             self.module, self.exp.num_classes, use_l1=True, **common)
+        self._step_aug = None
+        if self._device_augment:
+            # augmentation + step fused into ONE program (see
+            # make_augmented_train_step: removes the inter-program
+            # boundary and the f32 image round-trip through HBM)
+            from yolox_tpu.core.train_step import make_augmented_train_step
+
+            cfg = self.exp
+            self._step_aug = make_augmented_train_step(
+                self.module, self.exp.num_classes,
+                augment_kwargs=dict(
+                    max_labels=120,
+                    degrees=float(cfg.degrees),
+                    translate=float(cfg.translate),
+                    scales=tuple(cfg.mosaic_scale),
+                    mixup_scale=tuple(cfg.mixup_scale),
+                    shear=float(cfg.shear),
+                    enable_mixup=bool(cfg.enable_mixup),
+                    flip_prob=float(cfg.flip_prob),
+                    hsv_prob=float(cfg.hsv_prob),
+                    mosaic_prob=float(cfg.mosaic_prob),
+                    mixup_prob=float(cfg.mixup_prob)),
+                use_l1=False, **common)
 
         state = init_train_state(self.module.params,
                                  use_ema=self.use_model_ema)
@@ -450,26 +484,57 @@ class Trainer:
                 sharding=getattr(t, "sharding", None))
 
         batch_shape = tuple(np.shape(inps))
-        x_proto = inps
-        target_sds = jax.tree.map(sds, targets)
+        bsz = batch_shape[0]
+        fused = self._device_augment and self._step_aug is not None
+        batch_shard = getattr(inps, "sharding", None)
+        if fused:
+            # inps are raw tiles; the plain step (used by the later
+            # no-aug phase) sees augmented images + packed labels
+            x_proto = jax.ShapeDtypeStruct(
+                (bsz, self.input_size[0], self.input_size[1], 3),
+                np.float32, sharding=batch_shard)
+            target_sds = jax.ShapeDtypeStruct(
+                (bsz, 120, 5), np.float32, sharding=batch_shard)
+            aug_sds = (jax.tree.map(sds, inps),
+                       jax.ShapeDtypeStruct((bsz, 5, 2), np.float32,
+                                            sharding=batch_shard),
+                       jax.tree.map(
+                           lambda t: jax.ShapeDtypeStruct(
+                               np.shape(t), np.float32,
+                               sharding=getattr(t, "sharding", None)),
+                           targets),
+                       jax.ShapeDtypeStruct(
+                           np.shape(jax.random.PRNGKey(0)), np.uint32))
+        else:
+            x_proto = jax.tree.map(sds, inps)
+            target_sds = jax.tree.map(sds, targets)
         state_sds = jax.tree.map(sds, self.train_state)
         lr_sds = jax.ShapeDtypeStruct((), np.float32)
         sizes = [tuple(s) for s in self.exp.multiscale_sizes()
                  if tuple(s) != tuple(self.input_size)]
         self.warmup_compiled = 0
         self._warmup_stop = threading.Event()
+        base_size = tuple(self.input_size)
 
         def work():
             done = 0
             for (th, tw) in sizes:
-                x_sds = sds(
-                    x_proto, (batch_shape[0], th, tw, batch_shape[3]))
-                for step in (self._step, self._step_l1):
+                x_sds = sds(x_proto, (bsz, th, tw, batch_shape[3])
+                            if not fused else (bsz, th, tw, 3))
+                variants = [
+                    lambda: self._step.lower(
+                        state_sds, x_sds, target_sds, lr_sds),
+                    lambda: self._step_l1.lower(
+                        state_sds, x_sds, target_sds, lr_sds),
+                ]
+                if fused:
+                    variants.append(lambda: self._step_aug.lower(
+                        state_sds, *aug_sds, lr_sds, base_size, (th, tw)))
+                for lower in variants:
                     if self._warmup_stop.is_set():
                         return
                     try:
-                        step.lower(state_sds, x_sds, target_sds,
-                                   lr_sds).compile()
+                        lower().compile()
                         done += 1
                         # published only from this thread; readers see a
                         # monotonic count

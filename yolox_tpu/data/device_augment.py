@@ -294,7 +294,12 @@ def transform_labels(labels, valid, scale_pad, m, out_size, min_size=1.0):
 
 def hsv_jitter(img, key, hgain=5.0, sgain=30.0, vgain=30.0):
     """HSV jitter matching `augment_hsv` semantics (hue shift mod 180 on
-    the cv2 0..179 hue scale, sat/val add + clip), in float."""
+    the cv2 0..179 hue scale, sat/val add + clip). Math runs in f32
+    regardless of the input dtype (hue sextants are precision-sensitive);
+    the output dtype matches the input, so bf16 engine buffers stay bf16
+    with casts fused into the pointwise chain."""
+    in_dtype = img.dtype
+    img = img.astype(jnp.float32)
     ks = jax.random.split(key, 2)
     gains = jax.random.uniform(ks[0], (3,), minval=-1.0, maxval=1.0) \
         * jnp.asarray([hgain, sgain, vgain])
@@ -324,7 +329,8 @@ def hsv_jitter(img, key, hgain=5.0, sgain=30.0, vgain=30.0):
         k = jnp.mod(n + h / 30.0, 6.0)
         return v - sv * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
 
-    return jnp.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1)
+    return jnp.stack(
+        [chan(5.0), chan(3.0), chan(1.0)], axis=-1).astype(in_dtype)
 
 
 def _pack_labels(boxes_cls, keep, max_labels: int):
@@ -370,7 +376,9 @@ def _mixup_labels(p_lab, p_valid, r, do_flip, x_off, y_off, wj, hj,
 
 
 @partial(jax.jit, static_argnames=("out_size", "max_labels", "degrees",
-                                   "translate", "shear", "enable_mixup"))
+                                   "translate", "shear", "enable_mixup",
+                                   "flip_prob", "hsv_prob", "mosaic_prob",
+                                   "mixup_prob", "image_dtype"))
 def device_augment_batch(
     tiles,          # (B, 5, T, T, 3) uint8: 4 mosaic tiles + mixup partner
     tile_hw,        # (B, 5, 2) float32 true (h, w)
@@ -388,14 +396,29 @@ def device_augment_batch(
     hsv_prob: float = 1.0,
     mosaic_prob: float = 1.0,
     mixup_prob: float = 1.0,
+    image_dtype=jnp.float32,
 ):
     """Full train-time augmentation for a batch, on device.
 
-    Returns (images (B, S, S, 3) float32 pixel-scale, labels (B, max_labels,
-    5) rows (cls, cx, cy, w, h)). Pipeline per sample, exactly mirroring
+    Returns (images (B, S, S, 3) `image_dtype` pixel-scale, labels
+    (B, max_labels, 5) f32 rows (cls, cx, cy, w, h)). Pipeline per sample, exactly mirroring
     MosaicDetection.__getitem__: with prob mosaic_prob, mosaic(4 tiles) ->
     random affine -> [mixup with the partner tile, prob mixup_prob];
     otherwise the plain letterboxed sample; then HSV -> flip -> pack.
+
+    The probabilities are STATIC (recompile per distinct value — they are
+    config constants): at the reference defaults mosaic_prob=hsv_prob=1.0
+    the engine skips the letterboxed plain-image path and the HSV select
+    entirely at trace time (uniform() < 1.0 is always true, but XLA
+    cannot prove it), saving ~4 ms of full-image passes per b64 batch.
+
+    `image_dtype` (static) sets the dtype of the returned images AND the
+    inter-stage image buffers (warp output, MixUp blend, HSV in/out).
+    The fused train step passes its bf16 compute dtype — pixels land in
+    bf16 there regardless, so running the stage boundaries in bf16 only
+    moves the rounding point (<= 1-2 pixel LSB) while halving the
+    inter-stage HBM traffic. HSV math itself always runs in f32
+    (in-register, fused into the pointwise chain).
     """
     from yolox_tpu.ops.pallas_warp import mixup_resample, mosaic_affine_warp
 
@@ -489,37 +512,49 @@ def device_augment_batch(
     from yolox_tpu.ops.pallas_warp import margin_for
     img_m = mosaic_affine_warp(
         tiles[:, :4], tile_hw[:, :4], m_used, xc, yc, out_size,
-        margin=margin_for(out_size[0], degrees, shear))
+        margin=margin_for(out_size[0], degrees, shear),
+        out_dtype=image_dtype)
     if enable_mixup:
         r0 = jnp.minimum(oh / tile_hw[:, 4, 0], ow / tile_hw[:, 4, 1])
         part = jax.vmap(
             lambda t, hw, rr, fl, xo, yo, ofl: mixup_resample(
-                t, hw, rr, fl, xo, yo, out_size, out_flip=ofl)
+                t, hw, rr, fl, xo, yo, out_size, out_flip=ofl,
+                out_dtype=image_dtype)
         )(tiles[:, 4], tile_hw[:, 4], r0 * jf, mixflip, x_off, y_off,
           do_flip)
         img_m = jnp.where(do_mix[:, None, None, None],
                           0.5 * img_m + 0.5 * part, img_m)
 
-    # plain path: letterboxed tile 0, mirrored per sample when flipped
-    # (uint8 static reverse + select — cheaper than reversing the f32
-    # blended batch)
-    ys_g, xs_g = jnp.mgrid[0:oh, 0:ow].astype(jnp.float32)
-    t0 = tiles[:, 0, :oh, :ow]
-    src = jnp.where(do_flip[:, None, None, None], t0[:, :, ::-1], t0)
-    xs_eff = jnp.where(do_flip[:, None, None],
-                       (ow_f - 1.0) - xs_g[None], xs_g[None])
-    in0 = ((ys_g[None] < tile_hw[:, 0, 0, None, None])
-           & (xs_eff < tile_hw[:, 0, 1, None, None]))
-    img_n = jnp.where(in0[..., None], src.astype(jnp.float32), PAD)
+    if mosaic_prob >= 1.0:
+        # static: every sample takes the mosaic path — the plain
+        # letterboxed image (reverse + two full-image selects) is dead
+        img = img_m
+        boxes, keep = boxes_m, keep_m
+    else:
+        # plain path: letterboxed tile 0, mirrored per sample when
+        # flipped (uint8 static reverse + select — cheaper than
+        # reversing the f32 blended batch)
+        ys_g, xs_g = jnp.mgrid[0:oh, 0:ow].astype(jnp.float32)
+        t0 = tiles[:, 0, :oh, :ow]
+        src = jnp.where(do_flip[:, None, None, None], t0[:, :, ::-1], t0)
+        xs_eff = jnp.where(do_flip[:, None, None],
+                           (ow_f - 1.0) - xs_g[None], xs_g[None])
+        in0 = ((ys_g[None] < tile_hw[:, 0, 0, None, None])
+               & (xs_eff < tile_hw[:, 0, 1, None, None]))
+        img_n = jnp.where(in0[..., None], src.astype(image_dtype),
+                          jnp.asarray(PAD, image_dtype))
 
-    img = jnp.where(do_mosaic[:, None, None, None], img_m, img_n)
-    boxes = jnp.where(do_mosaic[:, None, None], boxes_m, boxes_n)
-    keep = jnp.where(do_mosaic[:, None], keep_m, keep_n)
+        img = jnp.where(do_mosaic[:, None, None, None], img_m, img_n)
+        boxes = jnp.where(do_mosaic[:, None, None], boxes_m, boxes_n)
+        keep = jnp.where(do_mosaic[:, None], keep_m, keep_n)
 
     # ---- shared TrainTransform tail: HSV -> pack (flip already folded
     # into the image producers; labels mirror below) ----
     hsv = jax.vmap(hsv_jitter)(img, hsv_keys)
-    img = jnp.where(do_hsv[:, None, None, None], hsv, img)
+    if hsv_prob >= 1.0:
+        img = hsv
+    else:
+        img = jnp.where(do_hsv[:, None, None, None], hsv, img)
     fboxes = jnp.stack([
         ow - boxes[..., 2], boxes[..., 1], ow - boxes[..., 0],
         boxes[..., 3],

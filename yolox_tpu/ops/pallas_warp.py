@@ -48,7 +48,10 @@ def margin_for_slope(s: int, slope: float) -> int:
             f"affine slope bound {slope:.2f} too large for the decomposed "
             "warp (combined rotation+shear must stay well below 45 deg)")
     need = slope * s / (1.0 - slope)
-    return max(128, int(math.ceil(need / 64.0)) * 64)
+    # round to sublanes only — the caller rounds the working grid to a
+    # DMA-friendly width; every extra margin pixel costs O(grid) matmul
+    # FLOPs in the scale pass (640px: margin 216 vs 256 is ~2 ms/b64)
+    return max(128, int(math.ceil(need / 8.0)) * 8)
 
 
 def margin_for(s: int, degrees: float, shear: float) -> int:
@@ -165,12 +168,13 @@ def scale_resample_tiles(tiles, tile_hw, offsets, xs, ys, canvas_hw,
         covx = jnp.clip(jnp.minimum(xs + 1.0, cw - xs), 0.0, 1.0)
         cov_canvas = (jnp.outer(covx, covy) if transposed_out
                       else jnp.outer(covy, covx))
-        h1 = h1 + border * jnp.maximum(cov_canvas - cov, 0.0)[..., None]
+        bterm = border * jnp.maximum(cov_canvas - cov, 0.0)
     else:
-        h1 = h1 + border * (1.0 - cov)[..., None]
-    # the cast rides the border-add fusion: with out_dtype=bf16 every
-    # downstream pass (layout copies, shear windows) moves half the bytes
-    return h1.astype(out_dtype)
+        bterm = border * (1.0 - cov)
+    # the casts ride the border-add fusion: with out_dtype=bf16 the O(R*W)
+    # border term and every downstream pass (layout copies, shear windows)
+    # move half the bytes (cast-then-add vs add-then-cast: <= 1 LSB)
+    return h1.astype(out_dtype) + bterm.astype(out_dtype)[..., None]
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +283,11 @@ def shear_x(img, shifts, out_w: int, px: int = 1):
         wl = required
     # block over rows so VMEM holds (rows_blk, wl)+(rows_blk, out) with
     # double buffering — full-height blocks overflow the ~16MB budget
-    rows_blk = 128 if h % 128 == 0 else h
+    rows_blk = h
+    for cand in (128, 64, 32, 16, 8):
+        if h % cand == 0:
+            rows_blk = cand
+            break
     assert rows_blk % _GROUP == 0, (
         f"shear_x needs row count divisible by {_GROUP}, got {h}")
     kernel = partial(_shear_kernel, out_w=out_w, win=win, k_max=k_max,
@@ -328,12 +336,12 @@ def _use_pallas():
 # ---------------------------------------------------------------------------
 
 def mosaic_affine_warp(tiles, tile_hw, m, xc, yc, out_size: Tuple[int, int],
-                       margin: int = None):
+                       margin: int = None, out_dtype=jnp.float32):
     """Batched fused mosaic + affine warp, TPU-native.
 
     tiles (B, 4, T, T, 3) uint8; tile_hw (B, 4, 2); m (B, 2, 3) affine
     (canvas -> output, cv2 convention); xc/yc (B,) mosaic centers.
-    Returns (B, S, S, 3) f32. out_size must be square (S, S).
+    Returns (B, S, S, 3) `out_dtype`. out_size must be square (S, S).
 
     Supported transform range: |shear slope| of the decomposed passes
     must satisfy |slope| * (S + margin) <= margin — `default_margin`
@@ -347,8 +355,10 @@ def mosaic_affine_warp(tiles, tile_hw, m, xc, yc, out_size: Tuple[int, int],
     if margin is None:
         margin = default_margin(s)
     wr = s + 2 * margin
-    # round WR up to a lane multiple
-    wr = ((wr + 127) // 128) * 128
+    # round WR up to 64 rows: enough for an efficient shear row-block
+    # (wl lane padding happens inside shear_x) without inflating the
+    # O(WR^2) scale matmul to full 128-multiples
+    wr = ((wr + 63) // 64) * 64
     margin_x = margin
     b = tiles.shape[0]
 
@@ -398,11 +408,12 @@ def mosaic_affine_warp(tiles, tile_hw, m, xc, yc, out_size: Tuple[int, int],
     row = jnp.arange(s, dtype=jnp.float32)
     shifts_x = uu[:, None] * row[None, :] + margin_x      # (B, S)
     out = fn(h2t, shifts_x, s, px=3)                # (B, S, S*3)
-    return out.reshape(b, s, s, 3).astype(jnp.float32)
+    return out.reshape(b, s, s, 3).astype(out_dtype)
 
 
 def mixup_resample(p_tile, p_hw, r, do_flip, x_off, y_off,
-                   out_size: Tuple[int, int], out_flip=False):
+                   out_size: Tuple[int, int], out_flip=False,
+                   out_dtype=jnp.float32):
     """Partner-image resample for MixUp (reference geometry): letterbox to
     the input size, scale the whole canvas by jit factor (total content
     scale `r`), optional h-flip, zero-pad, crop at (x_off, y_off).
@@ -430,5 +441,6 @@ def mixup_resample(p_tile, p_hw, r, do_flip, x_off, y_off,
         p_tile[None], p_hw[None].astype(jnp.float32),
         jnp.zeros((1, 2), jnp.float32), xs, ys,
         (hj, wj), border=PAD, zero_outside_canvas=True,
-        compute_dtype=jnp.bfloat16 if _use_pallas() else jnp.float32)
+        compute_dtype=jnp.bfloat16 if _use_pallas() else jnp.float32,
+        out_dtype=out_dtype)
     return h1
