@@ -208,3 +208,24 @@ def test_full_model_folded_grads_close():
             np.testing.assert_allclose(
                 np.asarray(flat1[path]) / scale, np.asarray(v0) / scale,
                 rtol=0, atol=1e-7, err_msg=str(path))
+
+
+def test_serve_lane_fold_matches_plain():
+    """Full serving path (forward + decode + NMS) with the folded
+    backbone == plain, for a depthwise (nano-style) model."""
+    import numpy as np
+
+    from yolox_tpu import YoloxConfig, YoloxModule
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    module = YoloxModule.from_config(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)), jnp.float32)
+
+    d0, v0 = module.serve(module.params, x, conf_thre=1e-6,
+                          max_det=32, lane_fold=False)
+    d1, v1 = module.serve(module.params, x, conf_thre=1e-6,
+                          max_det=32, lane_fold=True)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=2e-5, atol=2e-5)

@@ -96,6 +96,12 @@ class YoloxConfig:
     # plain — folding trades FLOPs for bytes, a loss on the
     # compute-bound serving path.
     lane_fold: bool = True
+    # also run the SERVING backbone on the folded representation.
+    # Default False: serving is compute-bound for s/m/l/x and folding
+    # trades FLOPs for bytes (measured regression there); the
+    # bandwidth-bound light models (nano/tiny) flip this on in their
+    # named configs — see docs/serving_performance.md
+    serve_lane_fold: bool = False
     # fused custom-vjp backward for the Conv->BN->act blocks
     # (yolox_tpu/ops/pallas_conv_bwd.py). Measured on a v5e (yolox-s b64):
     # XLA autodiff of the unfused composite is FASTER (136 ms vs 155 ms

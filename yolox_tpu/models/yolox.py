@@ -182,7 +182,7 @@ class YoloxModule:
 
     def serve(self, params: dict, x, conf_thre: float = 0.5,
               nms_thre: float = 0.65, class_agnostic: bool = False,
-              max_det: int = 256):
+              max_det: int = 256, lane_fold: Optional[bool] = None):
         """Fused serving step: forward + top-k select + f32 decode of the
         selected candidates + on-device NMS, as one graph. x: (B, H, W, 3)
         float NHWC. Returns (detections (B, max_det, 7), valid mask).
@@ -195,7 +195,21 @@ class YoloxModule:
 
         if x.dtype == jnp.uint8 or self.dtype != jnp.float32:
             x = x.astype(self.dtype)
-        fpn_outs = self.backbone(params["backbone"], x)
+        if lane_fold is None:
+            lane_fold = getattr(self.config, "serve_lane_fold", False)
+        if lane_fold:
+            # lane-dense folded backbone execution (lane_fold.py): a FLOP
+            # -for-bytes trade that wins on bandwidth-bound light models
+            # (nano/tiny) and loses on compute-bound s/m/l/x — see
+            # config.serve_lane_fold and docs/serving_performance.md
+            import dataclasses
+
+            from yolox_tpu.models.blocks import EVAL_CTX
+
+            ctx = dataclasses.replace(EVAL_CTX, lane_fold=True)
+            fpn_outs = self.backbone(params["backbone"], x, ctx, "backbone")
+        else:
+            fpn_outs = self.backbone(params["backbone"], x)
         outs, grids, strides = self.head.forward_raw_levels(
             params["head"], fpn_outs)
         return postprocess_fused_levels(
