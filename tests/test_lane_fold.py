@@ -99,6 +99,30 @@ def test_stage_folds():
     assert lf.stage_folds(64) == (4, 2, 1, 1, 1)
     assert lf.stage_folds(80) == (4, 2, 1, 1, 1)
     assert lf.stage_folds(256) == (1, 1, 1, 1, 1)
+    # config.lane_fold_target knob: shallower folds at target=128
+    assert lf.stage_folds(16, target=128) == (8, 4, 2, 1, 1)
+    assert lf.stage_folds(32, target=128) == (4, 2, 1, 1, 1)
+
+
+def test_lane_fold_target_config_knob():
+    """config.lane_fold_target reaches stage_folds and stays exact."""
+    import numpy as np
+
+    from yolox_tpu import YoloxConfig, YoloxModule
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    cfg.lane_fold_target = 128
+    module = YoloxModule.from_config(cfg)
+    assert module.backbone.backbone.folds == (8, 4, 2, 1, 1)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)), jnp.float32)
+    d0, v0 = module.serve(module.params, x, conf_thre=1e-6,
+                          max_det=16, lane_fold=False)
+    d1, v1 = module.serve(module.params, x, conf_thre=1e-6,
+                          max_det=16, lane_fold=True)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_grad_flows_through_folded_kernel():

@@ -96,6 +96,12 @@ class YoloxConfig:
     # plain — folding trades FLOPs for bytes, a loss on the
     # compute-bound serving path.
     lane_fold: bool = True
+    # fold depth: smallest power-of-two stem fold reaching this many
+    # lanes (yolox_tpu/ops/lane_fold.py:stage_folds). 256 measured best
+    # for the bandwidth-bound train step (128: 526 img/s, 256: 547,
+    # 512: 320 on yolox-s b64); 128 halves the folded-conv FLOP tax and
+    # is the serving-side candidate for light models.
+    lane_fold_target: int = 256
     # also run the SERVING backbone on the folded representation.
     # Default False: serving is compute-bound for s/m/l/x and folding
     # trades FLOPs for bytes (measured regression there); the

@@ -31,7 +31,8 @@ class CspDarknet(Module):
 
     def __init__(self, dep_mul, wid_mul,
                  out_features=("dark3", "dark4", "dark5"),
-                 depthwise=False, act="silu", lane_fold=True):
+                 depthwise=False, act="silu", lane_fold=True,
+                 lane_fold_target=256):
         assert out_features, "please provide output features of Darknet"
         self.out_features = out_features
         Conv = DWConv if depthwise else BaseConv
@@ -44,7 +45,8 @@ class CspDarknet(Module):
         # folded stride is 1 everywhere and k*C stays ~256 lanes.
         from yolox_tpu.ops.lane_fold import stage_folds
         fs, f2, f3, f4, f5 = (
-            stage_folds(base_channels) if lane_fold else (1, 1, 1, 1, 1))
+            stage_folds(base_channels, target=lane_fold_target)
+            if lane_fold else (1, 1, 1, 1, 1))
         assert f5 == 1, "SPP stage must be unfolded"
         self.folds = (fs, f2, f3, f4, f5)
         # the image itself is folded by 2*fs inside Focus

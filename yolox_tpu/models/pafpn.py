@@ -33,9 +33,11 @@ class YoloPafpn(Module):
         depthwise: bool = False,
         act: str = "silu",
         lane_fold: bool = True,
+        lane_fold_target: int = 256,
     ):
         self.backbone = CspDarknet(depth, width, depthwise=depthwise, act=act,
-                                   lane_fold=lane_fold)
+                                   lane_fold=lane_fold,
+                                   lane_fold_target=lane_fold_target)
         self.in_features = in_features
         self.in_channels = in_channels
         Conv = DWConv if depthwise else BaseConv

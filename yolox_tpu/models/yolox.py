@@ -136,7 +136,9 @@ class YoloxModule:
         backbone = YoloPafpn(config.depth, config.width,
                              in_channels=in_channels,
                              depthwise=config.depthwise, act=config.act,
-                             lane_fold=getattr(config, "lane_fold", True))
+                             lane_fold=getattr(config, "lane_fold", True),
+                             lane_fold_target=getattr(
+                                 config, "lane_fold_target", 256))
         head = YoloxHead(config.num_classes, config.width,
                          in_channels=in_channels,
                          depthwise=config.depthwise, act=config.act)
