@@ -8,6 +8,7 @@ JSON line:
 
 Matrix coverage (one JSON line per invocation):
   python bench.py --model s|m|l|x|nano|tiny --mode serve      [--batch N]
+  python bench.py --model s --mode serve [--int8]             # int8 PTQ
   python bench.py --model s --mode serve-b1                   # ms/image
   python bench.py --model s --mode fwd                        # fwd only
   python bench.py --model s|l|x --mode train [--remat]        # train step
@@ -86,7 +87,7 @@ def _toy_labels(batch, size, n=10):
     return labels
 
 
-def bench_serve(name, batch, iters, batch1=False):
+def bench_serve(name, batch, iters, batch1=False, int8=False):
     import jax.numpy as jnp
 
     module, cfg = _model(name, jnp.bfloat16)
@@ -94,23 +95,26 @@ def bench_serve(name, batch, iters, batch1=False):
     if batch1:
         batch, iters = 1, max(iters, 30)
 
-    def serve(p, x):
-        return module.serve(p, x, conf_thre=0.5, nms_thre=cfg.nmsthre,
-                            class_agnostic=False, max_det=256)
-
     x = jnp.asarray(np.random.default_rng(0).uniform(
         0, 255, (batch, size, size, 3)), jnp.float32)
+    qtab = module.calibrate_int8(module.params, x) if int8 else None
+
+    def serve(p, x):
+        return module.serve(p, x, conf_thre=0.5, nms_thre=cfg.nmsthre,
+                            class_agnostic=False, max_det=256,
+                            int8_qtab=qtab)
     run = _timed_loop(serve, module.params, x, iters,
                       lambda out: jnp.sum(out[0][:, 0, 0]))
     np.asarray(run(module.params, x))          # compile + warmup
     dt = _best_of(lambda: np.asarray(run(module.params, x)))
 
     anchor = V100_MS.get(name)
+    prec = "int8" if int8 else "bf16"
     if batch1:
         ms = 1000 * dt / iters
         return {
             "metric": f"yolox_{name} {size}px batch-1 serving latency "
-                      "incl. NMS (bf16)",
+                      f"incl. NMS ({prec})",
             "value": round(ms, 3),
             "unit": "ms/image",
             "vs_baseline": round(anchor / ms, 3) if anchor else None,
@@ -118,7 +122,7 @@ def bench_serve(name, batch, iters, batch1=False):
     ips = batch * iters / dt
     return {
         "metric": f"yolox_{name} {size}px batched serving incl. NMS "
-                  f"(bf16, batch {batch})",
+                  f"({prec}, batch {batch})",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": (round(ips / (1000 / anchor), 3) if anchor
@@ -222,15 +226,16 @@ README_ROWS = [
 ]
 
 
-def run_one(model, mode, batch, iters, remat):
+def run_one(model, mode, batch, iters, remat, int8=False):
     if mode == "serve":
-        out = bench_serve(model, batch or SERVE_BATCH[model], iters)
-        if model == "s" and batch is None:
+        out = bench_serve(model, batch or SERVE_BATCH[model], iters,
+                          int8=int8)
+        if model == "s" and batch is None and not int8:
             # keep the driver headline metric name stable
             out["metric"] = ("yolox_s 640px batched inference incl. NMS "
                              "(bf16)")
     elif mode == "serve-b1":
-        out = bench_serve(model, 1, iters, batch1=True)
+        out = bench_serve(model, 1, iters, batch1=True, int8=int8)
     elif mode == "fwd":
         out = bench_fwd(model, batch or SERVE_BATCH[model], iters)
     elif mode == "train":
@@ -252,6 +257,10 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve modes: post-training int8 quantized "
+                         "forward (calibrated on the bench batch; "
+                         "yolox_tpu/ops/quant.py)")
     ap.add_argument("--all", action="store_true",
                     help="run every README benchmark row (one JSON line "
                          "each; expect long compiles for l/x)")
@@ -263,7 +272,8 @@ def main():
             print(json.dumps(out), flush=True)
         return
 
-    out = run_one(args.model, args.mode, args.batch, args.iters, args.remat)
+    out = run_one(args.model, args.mode, args.batch, args.iters, args.remat,
+                  int8=args.int8)
     print(json.dumps(out))
 
 

@@ -50,6 +50,19 @@ def test_eval_cli_speed_mode(cfg_module):
     assert rc == 0
 
 
+def test_eval_cli_int8(cfg_module):
+    """--int8 calibrates on eval batches and runs the PTQ forward
+    end-to-end through the COCO evaluator (yolox_tpu/ops/quant.py)."""
+    from yolox_tpu.cli import eval as eval_cli
+
+    name, tmp_path = cfg_module
+    rc = eval_cli.main([
+        "-c", name, "-b", "4", "--speed", "--int8", "--calib-batches", "2",
+        "--conf", "0.01", "-D", f"output_dir={tmp_path / 'out'}",
+    ])
+    assert rc == 0
+
+
 def test_eval_cli_with_ckpt_and_fuse(cfg_module):
     from yolox_tpu.cli import eval as eval_cli
     from yolox_tpu.cli.utils import resolve_config

@@ -1,0 +1,161 @@
+"""int8 PTQ serving path (yolox_tpu/ops/quant.py).
+
+No reference analog (the reference serves fp16,
+`/root/reference/docs/model_zoo.md:28-31`); these tests pin the
+quantization machinery itself: exactness of the int8 kernel against a
+float oracle, calibration coverage, and closeness of the quantized
+forward/serve to the bf16/f32 path on random weights.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolox_tpu import YoloxConfig, YoloxModule
+from yolox_tpu.models.blocks import EVAL_CTX, BaseConv, silu
+from yolox_tpu.ops import quant
+
+
+def test_quantize_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-3, 3, (4, 8, 8, 16)), jnp.float32)
+    amax = jnp.max(jnp.abs(x))
+    s = quant.act_scale(amax)
+    xq = quant.quantize(x, s)
+    assert xq.dtype == jnp.int8
+    assert int(jnp.max(jnp.abs(xq.astype(jnp.int32)))) <= 127
+    # dequantized error bounded by half a quantization step
+    err = jnp.max(jnp.abs(xq.astype(jnp.float32) * s - x))
+    assert float(err) <= float(s) * 0.5 + 1e-7
+
+
+def test_fold_bn_matches_batch_norm():
+    """fold_bn(w, bn) reproduces conv2d -> eval-mode batch_norm exactly
+    (same algebra as utils/model_utils.fuse)."""
+    from yolox_tpu.models.blocks import batch_norm, conv2d
+
+    rng = np.random.default_rng(1)
+    conv = BaseConv(8, 16, 3, 1)
+    p = conv.init(rng)
+    p["bn"]["running_mean"] = rng.normal(size=16).astype(np.float32)
+    p["bn"]["running_var"] = rng.uniform(0.5, 2, 16).astype(np.float32)
+    p["bn"]["weight"] = rng.normal(size=16).astype(np.float32)
+    p["bn"]["bias"] = rng.normal(size=16).astype(np.float32)
+    p = jax.tree.map(jnp.asarray, p)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8)), jnp.float32)
+
+    ref = batch_norm(p["bn"], conv2d(x, p["conv"]["weight"]), EVAL_CTX, ".bn")
+    w_fused, bias = quant.fold_bn(p["conv"]["weight"], p["bn"])
+    got = conv2d(x, w_fused) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int8_conv_exact_vs_integer_oracle():
+    """The int8 conv accumulates exactly: conv(xq, wq) in int32 equals the
+    same integers convolved in float (values stay < 2^24)."""
+    rng = np.random.default_rng(2)
+    conv = BaseConv(8, 12, 3, 1)
+    p = jax.tree.map(jnp.asarray, conv.init(rng))
+    x = jnp.asarray(rng.uniform(-2, 2, (2, 6, 6, 8)), jnp.float32)
+    amax = jnp.max(jnp.abs(x))
+
+    got = quant.conv_bn_act(x, p, amax, 1, 1, silu)
+
+    # float-side oracle of the identical quantized computation
+    from yolox_tpu.models.blocks import conv2d
+
+    w_fused, bias = quant.fold_bn(p["conv"]["weight"], p["bn"])
+    wq, sw = quant.weight_qparams(w_fused)
+    sx = quant.act_scale(amax)
+    xq = quant.quantize(x, sx)
+    acc = conv2d(xq.astype(jnp.float32), wq.astype(jnp.float32))
+    ref = silu(acc * (sx * sw) + bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def small_module():
+    cfg = YoloxConfig.get_named_config("yolox_nano")  # depthwise path
+    return YoloxModule.from_config(cfg), cfg
+
+
+def _raw_outputs(m, params, x, qtab=None):
+    ctx = (EVAL_CTX if qtab is None
+           else dataclasses.replace(EVAL_CTX, int8_qtab=qtab))
+    fpn = m.backbone(params["backbone"], x, ctx, "backbone")
+    outs, _, _ = m.head.forward_raw_levels(params["head"], fpn, ctx, "head")
+    return outs
+
+
+def test_calibrate_and_serve_int8(small_module):
+    m, cfg = small_module
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 128, 128, 3)), jnp.float32)
+
+    qtab = m.calibrate_int8(m.params, x)
+    # every BaseConv path calibrated; all finite and positive
+    assert len(qtab) > 50
+    assert all(k.startswith(("backbone", "head")) for k in qtab)
+    vals = np.asarray(list(jax.tree.map(float, qtab).values()))
+    assert np.isfinite(vals).all() and (vals > 0).all()
+
+    # multi-batch merge takes the elementwise max
+    qtab2 = m.calibrate_int8(m.params, [x, x * 2.0])
+    key = "backbone.backbone.dark2.0.dconv"
+    assert float(qtab2[key]) >= float(qtab[key]) * 1.99
+
+    # quantized raw forward tracks the float forward on random weights
+    o_f = _raw_outputs(m, m.params, x)
+    o_q = _raw_outputs(m, m.params, x, qtab)
+    for a, b in zip(o_f, o_q):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rms_rel = float(np.sqrt(((a - b) ** 2).mean()) / (a.std() + 1e-9))
+        assert rms_rel < 0.15, rms_rel
+
+    # fused serving graph runs under jit and yields the same contract
+    d, v = jax.jit(lambda p, xx: m.serve(p, xx, conf_thre=0.05, max_det=16,
+                                         int8_qtab=qtab))(m.params, x)
+    assert d.shape == (2, 16, 7) and v.shape == (2, 16)
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_enable_int8_eval_forward(small_module):
+    """`enable_int8` swaps the decoded eval forward (`module(x)`, the
+    evaluator/CLI path) to the quantized graph: output stays decoded
+    (B, A, 5+C) f32 and tracks the float forward; NCHW input handling
+    and calibration auto-transpose are preserved."""
+    m, cfg = small_module
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 128, 128, 3)), jnp.float32)
+
+    o_f = np.asarray(m(x))
+    # calibration accepts NCHW (evaluator dataloader layout) too
+    qtab = m.calibrate_int8(m.params, jnp.transpose(x, (0, 3, 1, 2)))
+    qtab_nhwc = m.calibrate_int8(m.params, x)
+    key = "backbone.backbone.dark2.0.dconv"
+    np.testing.assert_allclose(np.asarray(qtab[key]),
+                               np.asarray(qtab_nhwc[key]))
+
+    m.enable_int8(qtab)
+    try:
+        o_q = np.asarray(m(x))
+    finally:  # restore the float forward for other tests (module-scoped)
+        m._forward_eval = jax.jit(
+            lambda p, xx: m.head(p["head"], m.backbone(p["backbone"], xx)))
+    assert o_q.shape == o_f.shape and o_q.dtype == np.float32
+    rms_rel = float(np.sqrt(((o_f - o_q) ** 2).mean()) / (o_f.std() + 1e-9))
+    assert rms_rel < 0.15, rms_rel
+
+
+def test_int8_rejected_in_train_mode(small_module):
+    m, _ = small_module
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    qtab = m.calibrate_int8(m.params, x)
+    ctx = dataclasses.replace(EVAL_CTX, train=True, int8_qtab=qtab)
+    with pytest.raises(AssertionError):
+        m.backbone(m.params["backbone"], x, ctx, "backbone")

@@ -35,6 +35,15 @@ def make_parser():
                         help="fuse conv+bn before eval")
     parser.add_argument("--fp16", action="store_true",
                         help="bf16 inference")
+    parser.add_argument("--int8", action="store_true",
+                        help="post-training int8 quantized inference "
+                             "(calibrates activation scales on the first "
+                             "--calib-batches eval batches, then runs "
+                             "every conv+BN+act block on the MXU int8 "
+                             "path; see yolox_tpu/ops/quant.py)")
+    parser.add_argument("--calib-batches", type=int, default=8,
+                        help="number of eval batches used for int8 "
+                             "activation-scale calibration")
     parser.add_argument("--legacy", action="store_true",
                         help="legacy (ImageNet-normalized) preprocessing")
     parser.add_argument("--test", action="store_true",
@@ -76,6 +85,17 @@ def run_eval(config, args, num_devices=None):
     if args.fuse:
         logger.info("\tFusing model...")
         module.load_params(fuse_model_params(module.params))
+
+    if args.int8:
+        logger.info(f"\tCalibrating int8 activation scales on "
+                    f"{args.calib_batches} batches...")
+        import itertools as it
+
+        batches = (imgs for imgs, *_ in
+                   it.islice(iter(evaluator.dataloader), args.calib_batches))
+        qtab = module.calibrate_int8(module.params, batches)
+        module.enable_int8(qtab)
+        logger.info(f"\tint8 enabled ({len(qtab)} calibrated conv blocks).")
 
     *_, summary = config.eval(
         module, evaluator, is_distributed, half=args.fp16)

@@ -143,6 +143,15 @@ class Ctx:
     # clears it per-call when the input width does not divide the fold
     # chain, so every block under it consistently runs plain.
     lane_fold: bool = False
+    # int8 PTQ serving (yolox_tpu/ops/quant.py). `int8_qtab` maps each
+    # BaseConv's parameter path to its calibrated input abs-max; when set
+    # (eval only), every BaseConv runs quantize -> int8 conv -> dequant.
+    # `calib_sink`: when set, BaseConv records jnp.max(|input|) per path
+    # into the dict while running the ordinary float path — jit a forward
+    # and return the sink to collect a calibration table
+    # (YoloxModule.calibrate_int8).
+    int8_qtab: Optional[Dict[str, Any]] = None
+    calib_sink: Optional[Dict[str, Any]] = None
 
 
 EVAL_CTX = Ctx(train=False, collector=None)
@@ -288,6 +297,13 @@ class BaseConv(Module):
 
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
         bn_path = f"{path}.bn"
+        if ctx.calib_sink is not None:
+            ctx.calib_sink[path] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+        if ctx.int8_qtab is not None:
+            from yolox_tpu.ops import quant
+            assert not ctx.train, "int8 PTQ is a serving/eval-only path"
+            return quant.conv_bn_act(x, p, ctx.int8_qtab[path], self.stride,
+                                     self.groups, self.act)
         if ctx.lane_fold and (self.fold_in > 1 or self.fold_out > 1):
             from yolox_tpu.ops import lane_fold as lf
             pad = (self.ksize - 1) // 2

@@ -184,7 +184,8 @@ class YoloxModule:
 
     def serve(self, params: dict, x, conf_thre: float = 0.5,
               nms_thre: float = 0.65, class_agnostic: bool = False,
-              max_det: int = 256, lane_fold: Optional[bool] = None):
+              max_det: int = 256, lane_fold: Optional[bool] = None,
+              int8_qtab: Optional[dict] = None):
         """Fused serving step: forward + top-k select + f32 decode of the
         selected candidates + on-device NMS, as one graph. x: (B, H, W, 3)
         float NHWC. Returns (detections (B, max_det, 7), valid mask).
@@ -192,11 +193,27 @@ class YoloxModule:
         `yolox_tpu/ops/nms.py:postprocess_fused`. Accepts uint8 pixels
         directly (4x cheaper host->device transfer than f32 letterboxed
         batches; the cast happens on device).
+
+        `int8_qtab`: calibration table from `calibrate_int8` — runs every
+        conv+BN+act block as int8 on the MXU's 2x-rate int8 path
+        (yolox_tpu/ops/quant.py). Mutually exclusive with lane folding.
         """
         from yolox_tpu.ops.nms import postprocess_fused_levels
 
         if x.dtype == jnp.uint8 or self.dtype != jnp.float32:
             x = x.astype(self.dtype)
+        if int8_qtab is not None:
+            import dataclasses
+
+            from yolox_tpu.models.blocks import EVAL_CTX
+
+            ctx = dataclasses.replace(EVAL_CTX, int8_qtab=int8_qtab)
+            fpn_outs = self.backbone(params["backbone"], x, ctx, "backbone")
+            outs, grids, strides = self.head.forward_raw_levels(
+                params["head"], fpn_outs, ctx, "head")
+            return postprocess_fused_levels(
+                outs, grids, strides, self.head.num_classes, conf_thre,
+                nms_thre, class_agnostic, max_det)
         if lane_fold is None:
             lane_fold = getattr(self.config, "serve_lane_fold", False)
         if lane_fold:
@@ -217,6 +234,65 @@ class YoloxModule:
         return postprocess_fused_levels(
             outs, grids, strides, self.head.num_classes, conf_thre,
             nms_thre, class_agnostic, max_det)
+
+    def calibrate_int8(self, params: dict, batches) -> dict:
+        """Collect the int8 activation-scale table over calibration data.
+
+        `batches`: iterable of (B, H, W, 3) float NHWC arrays (a single
+        array is accepted too; NCHW is auto-transposed like `__call__`).
+        Runs the eval forward with a calibration sink recording every
+        BaseConv input's abs-max, elementwise-maxed across batches.
+        Returns {param_path: f32 amax} for `serve(..., int8_qtab=...)` /
+        `enable_int8`. One jit compile per distinct batch shape.
+        """
+        import dataclasses
+
+        from yolox_tpu.models.blocks import EVAL_CTX
+        from yolox_tpu.ops.quant import merge_amax
+
+        @jax.jit
+        def calib_fn(p, xx):
+            sink = {}
+            ctx = dataclasses.replace(EVAL_CTX, calib_sink=sink)
+            fpn = self.backbone(p["backbone"], xx, ctx, "backbone")
+            self.head.forward_raw_levels(p["head"], fpn, ctx, "head")
+            return sink
+
+        if hasattr(batches, "ndim"):
+            batches = [batches]
+        table: dict = {}
+        for x in batches:
+            x = jnp.asarray(x)
+            if x.ndim == 3:
+                x = x[None]
+            if x.shape[1] <= 4 and x.shape[3] > 4:  # NCHW -> NHWC
+                x = jnp.transpose(x, (0, 2, 3, 1))
+            if x.dtype == jnp.uint8 or self.dtype != jnp.float32:
+                x = x.astype(self.dtype)
+            table = merge_amax(table, calib_fn(params, x))
+        return jax.tree.map(jnp.asarray, table)
+
+    def enable_int8(self, qtab: dict) -> None:
+        """Switch the module's eval forward (`__call__`) to the int8 PTQ
+        path using the calibration table from `calibrate_int8` — every
+        conv+BN+act block runs quantize -> int8 MXU conv -> dequant
+        (yolox_tpu/ops/quant.py). Decode and postprocess stay f32, so the
+        evaluator / CLI paths (`yolox-tpu eval --int8`) measure the true
+        quantized mAP."""
+        import dataclasses
+
+        from yolox_tpu.models.blocks import EVAL_CTX
+
+        def _forward_int8(p, x, qt):
+            if self.dtype != jnp.float32:
+                x = x.astype(self.dtype)
+            ctx = dataclasses.replace(EVAL_CTX, int8_qtab=qt)
+            fpn_outs = self.backbone(p["backbone"], x, ctx, "backbone")
+            out = self.head(p["head"], fpn_outs, ctx, "head")
+            return out.astype(jnp.float32)
+
+        fwd = jax.jit(_forward_int8)
+        self._forward_eval = lambda p, x: fwd(p, x, qtab)
 
     def serve_jit(self, x, conf_thre: float = 0.5, nms_thre: float = 0.65,
                   max_det: int = 256):
