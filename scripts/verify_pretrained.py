@@ -21,7 +21,8 @@ Per model it runs two legs and writes `PARITY.json`:
   2. **COCO-val mAP** — full val2017 eval vs the upstream model-zoo table
      (`/root/reference/docs/model_zoo.md:7-11,30-31`); any |delta| > 0.1
      mAP fails the gate. Skipped (status "not-run") when no data dir with
-     annotations exists.
+     annotations exists. `--int8` adds a third leg measuring the int8-PTQ
+     mAP (yolox_tpu/ops/quant.py) against a looser `--int8-tol` bound.
 
 Exit status: 0 all run legs pass · 1 any leg fails · 2 weights or
 oracle inputs missing (the gate cannot attest parity without evidence).
@@ -72,10 +73,21 @@ def load_reference_expectations():
     path = REFERENCE / "tests" / "test_detections.py"
     if not path.exists():
         return None
-    spec = importlib.util.spec_from_file_location("_ref_detections", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.DETECTIONS_DATA
+    # the reference test module imports its own `yolox` package at module
+    # scope; make it importable for the exec (harmless if already present)
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_ref_detections", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.DETECTIONS_DATA
+    except Exception as e:
+        print(f"reference expectations unavailable ({e}); pass "
+              "--expectations FILE", file=sys.stderr)
+        return None
+    finally:
+        sys.path.remove(str(REFERENCE))
 
 
 def check_goldens(model_name, ckpt_path, expectations, images):
@@ -114,8 +126,17 @@ def check_goldens(model_name, ckpt_path, expectations, images):
     }
 
 
-def check_map(model_name, ckpt_path, data_dir):
-    """Full COCO val2017 eval vs the model-zoo number."""
+def check_map(model_name, ckpt_path, data_dir, int8=False,
+              int8_tol=1.0, calib_batches=8):
+    """Full COCO val2017 eval vs the model-zoo number.
+
+    int8=True evaluates the post-training-quantized forward
+    (yolox_tpu/ops/quant.py) instead: activation scales are calibrated on
+    the first `calib_batches` val batches, and the gate tolerance widens
+    to `int8_tol` mAP (per-tensor symmetric PTQ on YOLOX is typically
+    well under 1 mAP off the float checkpoint)."""
+    import itertools as it
+
     import jax.numpy as jnp
 
     from yolox_tpu import YoloxConfig
@@ -127,17 +148,22 @@ def check_map(model_name, ckpt_path, data_dir):
     module = YoloxModule.from_config(config, dtype=jnp.bfloat16)
     module.load_params(load_pth_params(str(ckpt_path)))
     evaluator = config.get_evaluator(batch_size=64)
+    if int8:
+        batches = (imgs for imgs, *_ in
+                   it.islice(iter(evaluator.dataloader), calib_batches))
+        module.enable_int8(module.calibrate_int8(module.params, batches))
     ap50_95, _ap50, _summary = evaluator.evaluate(
-        module, distributed=False, half=True)
+        module, distributed=False, half=not int8)
     measured = float(ap50_95) * 100.0
     expected = ZOO_MAP[model_name]
     delta = measured - expected
+    tol = int8_tol if int8 else MAP_TOL
     return {
-        "status": "pass" if abs(delta) <= MAP_TOL else "fail",
+        "status": "pass" if abs(delta) <= tol else "fail",
         "expected_map": expected,
         "measured_map": round(measured, 3),
         "delta": round(delta, 3),
-        "tolerance": MAP_TOL,
+        "tolerance": tol,
     }
 
 
@@ -175,6 +201,12 @@ def main(argv=None) -> int:
                          "skips the mAP leg")
     ap.add_argument("--skip-goldens", action="store_true")
     ap.add_argument("--skip-map", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="also measure int8-PTQ mAP per model (extra "
+                         "'map_int8' leg; gate tolerance --int8-tol)")
+    ap.add_argument("--int8-tol", type=float, default=1.0,
+                    help="max |mAP delta| vs the float zoo number for "
+                         "the int8 leg (default 1.0)")
     ap.add_argument("--out", default="PARITY.json")
     args = ap.parse_args(argv)
 
@@ -225,6 +257,12 @@ def main(argv=None) -> int:
             entry["map"] = check_map(model_name, ckpt, args.data_dir)
             if entry["map"]["status"] != "pass":
                 exit_code = max(exit_code, 1)
+            if args.int8:
+                entry["map_int8"] = check_map(
+                    model_name, ckpt, args.data_dir, int8=True,
+                    int8_tol=args.int8_tol)
+                if entry["map_int8"]["status"] != "pass":
+                    exit_code = max(exit_code, 1)
 
         print(f"[{model_name}] " + json.dumps(entry))
 
