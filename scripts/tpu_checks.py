@@ -92,6 +92,31 @@ def check_fused_serving():
     print("fused serving path on TPU: OK")
 
 
+def check_int8_serving():
+    """int8 PTQ path on real silicon: the int8 conv must compile to the
+    MXU int8 path and track the float forward (machinery exactness is
+    pinned by tests/test_quant.py on CPU; this guards the TPU lowering
+    of int8 conv_general_dilated + int32 accumulate)."""
+    from yolox_tpu import YoloxConfig, YoloxModule
+
+    cfg = YoloxConfig.get_named_config("yolox_s")
+    module = YoloxModule.from_config(cfg, dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(4).uniform(
+        0, 255, (2, 640, 640, 3)), jnp.float32)
+    qtab = module.calibrate_int8(module.params, x)
+    d_q, v_q = jax.jit(lambda p, xx: module.serve(
+        p, xx, conf_thre=1e-5, max_det=64, int8_qtab=qtab))(
+            module.params, x)
+    d_f, v_f = jax.jit(lambda p, xx: module.serve(
+        p, xx, conf_thre=1e-5, max_det=64))(module.params, x)
+    assert np.isfinite(np.asarray(d_q)[np.asarray(v_q)]).all()
+    assert np.asarray(v_q).sum() > 0
+    # same detection count ballpark as the bf16 forward on random weights
+    ratio = (np.asarray(v_q).sum() + 1.0) / (np.asarray(v_f).sum() + 1.0)
+    assert 0.2 < ratio < 5.0, ratio
+    print(f"int8 PTQ serving on TPU: OK (valid dets int8/bf16 = {ratio:.2f})")
+
+
 def check_device_augment():
     import yolox_tpu.ops.pallas_warp as pw
     from yolox_tpu.data.device_augment import device_augment_batch
@@ -130,6 +155,7 @@ def main():
     check_pallas_nms()
     check_pallas_shear()
     check_fused_serving()
+    check_int8_serving()
     check_device_augment()
     print("ALL TPU CHECKS PASSED")
     return 0
