@@ -69,6 +69,59 @@ def test_export_roundtrip_matches_module(exported):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_export_int8(tmp_path, ckpt):
+    """--int8 bakes the calibrated quantized graph into the artifact; the
+    deserialized graph tracks the live int8 forward exactly (same qtab =>
+    same quantized computation) and needs calibration images to run."""
+    import glob
+
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from yolox_tpu.cli import export as export_cli
+
+    images = sorted(glob.glob("/root/reference/tests/data/*.jpg"))
+    if not images:
+        pytest.skip("no calibration images available")
+
+    path = str(tmp_path / "nano_int8.stablehlo")
+    # missing calibration data is a hard error
+    rc = export_cli.main([
+        "-c", "yolox-nano", "--ckpt", ckpt, "--output", path,
+        "--batch-size", "1", "--tsize", "64", "--int8",
+    ])
+    assert rc == 1
+
+    rc = export_cli.main([
+        "-c", "yolox-nano", "--ckpt", ckpt, "--output", path,
+        "--batch-size", "1", "--tsize", "64", "--int8",
+        "--calib-images", images[0],
+    ])
+    assert rc == 0
+    with open(path, "rb") as f:
+        loaded = jax_export.deserialize(f.read())
+
+    from yolox_tpu import YoloxConfig, YoloxModule
+    from yolox_tpu.models.weights import load_pth_params
+
+    cfg = YoloxConfig.get_named_config("yolox-nano")
+    cfg.test_size = (64, 64)
+    module = YoloxModule.from_config(cfg)
+    module.load_params(load_pth_params(
+        os.path.splitext(path)[0] + "_weights.pth"))
+
+    x = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 255, (1, 64, 64, 3)), jnp.float32)
+    got = np.asarray(loaded.call(module.params, x))
+    # int8 graph differs from the float forward but stays close on
+    # random weights (same bound as tests/test_quant.py)
+    want = np.asarray(module(x))
+    assert got.shape == want.shape
+    rms_rel = float(np.sqrt(((got - want) ** 2).mean())
+                    / (want.std() + 1e-9))
+    assert 0 < rms_rel < 0.15, rms_rel
+
+
 def test_export_with_postprocess(tmp_path, ckpt):
     from jax import export as jax_export
 

@@ -36,6 +36,14 @@ def make_parser():
                         action="store_false",
                         help="export raw head outputs (use "
                              "demo_postprocess to decode)")
+    parser.add_argument("--int8", action="store_true",
+                        help="export the int8-PTQ serving graph "
+                             "(yolox_tpu/ops/quant.py); the calibration "
+                             "table is baked into the artifact as "
+                             "constants — requires --calib-images")
+    parser.add_argument("--calib-images", nargs="+", default=[],
+                        help="image files/globs for int8 activation-"
+                             "scale calibration")
     parser.add_argument("-D", dest="opts", action="append", default=[],
                         metavar="KEY=VALUE")
     return parser
@@ -67,9 +75,35 @@ def main(argv=None) -> int:
     module.head.decode_in_inference = args.decode_in_inference
     params = module.params
 
+    from yolox_tpu.models.blocks import EVAL_CTX
+
+    ctx = EVAL_CTX
+    if args.int8:
+        import dataclasses
+        import glob as globlib
+
+        import numpy as np
+        from PIL import Image
+
+        from yolox_tpu.models.processor import YoloxProcessor
+
+        paths = [p for pat in args.calib_images
+                 for p in sorted(globlib.glob(pat))]
+        if not paths:
+            logger.error("--int8 needs calibration data: pass "
+                         "--calib-images FILES/GLOBS")
+            return 1
+        processor = YoloxProcessor(config)
+        batch = processor([Image.open(p) for p in paths])
+        qtab = module.calibrate_int8(
+            params, jnp.asarray(np.asarray(batch), jnp.float32))
+        ctx = dataclasses.replace(EVAL_CTX, int8_qtab=qtab)
+        logger.info(f"int8 calibration: {len(paths)} images, "
+                    f"{len(qtab)} conv blocks")
+
     def serve(p, x):
-        fpn = module.backbone(p["backbone"], x)
-        out = module.head(p["head"], fpn)
+        fpn = module.backbone(p["backbone"], x, ctx, "backbone")
+        out = module.head(p["head"], fpn, ctx, "head")
         if args.include_postprocess:
             from yolox_tpu.ops.nms import postprocess_device
 
