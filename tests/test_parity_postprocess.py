@@ -212,6 +212,38 @@ def test_sharded_serving_matches_single_device():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_spatial_serving_matches_single_device():
+    """Spatially-partitioned serving (image H sharded over the 'space'
+    mesh axis, GSPMD halo exchange at slab borders) == single-device
+    serve — including batch 1, where data parallelism cannot help."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolox_tpu import YoloxConfig, YoloxModule
+    from yolox_tpu.parallel.mesh import serving_mesh
+
+    assert jax.device_count() >= 8
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    module = YoloxModule.from_config(cfg)
+
+    for n_data, n_space, batch in [(1, 8, 1), (2, 4, 2), (4, 2, 4)]:
+        x = jnp.asarray(np.random.default_rng(7).uniform(
+            0, 255, (batch, 128, 128, 3)), jnp.float32)
+        single = module.make_serving_fn(conf_thre=1e-5, max_det=64)
+        dets1, v1 = single(module.params, x)
+
+        mesh = serving_mesh(n_data, n_space)
+        sharded = module.make_serving_fn(
+            mesh=mesh, conf_thre=1e-5, max_det=64)
+        detsn, vn = sharded(module.params, x)
+
+        np.testing.assert_array_equal(
+            np.asarray(v1), np.asarray(vn), err_msg=f"{n_data}x{n_space}")
+        np.testing.assert_allclose(
+            np.asarray(dets1), np.asarray(detsn), rtol=1e-6, atol=1e-5,
+            err_msg=f"{n_data}x{n_space}")
+
+
 def test_serve_accepts_uint8():
     import jax.numpy as jnp
 

@@ -315,9 +315,14 @@ class YoloxModule:
                         max_det: int = 256):
         """Compiled serving function fn(params, x) -> (dets, valid).
 
-        With a `jax.sharding.Mesh`, the batch is sharded over the 'data'
-        axis (params replicated) and XLA runs data-parallel inference over
-        all mesh devices — batch size must be divisible by the mesh size.
+        With a 1-D `jax.sharding.Mesh` ('data'), the batch is sharded over
+        the mesh (params replicated): data-parallel inference — batch size
+        must be divisible by the mesh size. With a 2-D ('data', 'space')
+        mesh from `parallel.mesh.serving_mesh`, the image-height axis is
+        additionally sharded over 'space': each conv runs on its row slab
+        with XLA-inserted halo exchanges (GSPMD spatial partitioning),
+        scaling single-image latency across chips. Detections come back
+        sharded over 'data' only.
         """
         import jax
 
@@ -329,12 +334,13 @@ class YoloxModule:
             return jax.jit(fn)
         from yolox_tpu.parallel.mesh import (
             batch_sharding,
+            image_sharding,
             replicated_sharding,
         )
 
         return jax.jit(
             fn,
-            in_shardings=(replicated_sharding(mesh), batch_sharding(mesh)),
+            in_shardings=(replicated_sharding(mesh), image_sharding(mesh)),
             out_shardings=(batch_sharding(mesh), batch_sharding(mesh)),
         )
 

@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def process_index() -> int:
@@ -45,7 +46,28 @@ def data_parallel_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(devices, (DATA_AXIS,))
 
 
+def serving_mesh(n_data: int, n_space: int = 1) -> Mesh:
+    """2-D (data, space) mesh for sharded serving.
+
+    `space` shards the image-height axis: every conv runs as a local conv
+    over its row slab with XLA-inserted halo exchanges at slab borders
+    (GSPMD spatial partitioning) — this scales *batch-1 latency* across
+    chips, which pure data parallelism cannot, and has no reference
+    analog (torch DDP is data-parallel only)."""
+    devices = np.array(
+        jax.devices()[: n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(devices, (DATA_AXIS, SPACE_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC input sharding: batch over 'data', H over 'space' (if the
+    mesh has one). Convs partition spatially via GSPMD halo exchange."""
+    if SPACE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
