@@ -152,6 +152,30 @@ def test_enable_int8_eval_forward(small_module):
     assert rms_rel < 0.15, rms_rel
 
 
+def test_int8_composes_with_mesh_serving(small_module):
+    """make_serving_fn(int8_qtab=...) over a (data, space) mesh equals the
+    single-device int8 serve — quantization is pointwise per block, so
+    GSPMD spatial partitioning must not change the numbers."""
+    from yolox_tpu.parallel.mesh import serving_mesh
+
+    m, cfg = small_module
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 128, 128, 3)), jnp.float32)
+    qtab = m.calibrate_int8(m.params, x)
+
+    single = m.make_serving_fn(conf_thre=1e-5, max_det=32, int8_qtab=qtab)
+    d1, v1 = single(m.params, x)
+    mesh = serving_mesh(2, 2)
+    sharded = m.make_serving_fn(mesh=mesh, conf_thre=1e-5, max_det=32,
+                                int8_qtab=qtab)
+    dn, vn = sharded(m.params, x)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(vn))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(dn),
+                               rtol=1e-6, atol=1e-5)
+
+
 def test_int8_rejected_in_train_mode(small_module):
     m, _ = small_module
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
