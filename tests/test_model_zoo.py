@@ -100,6 +100,35 @@ def test_demo_cli_image(tmp_path):
     assert drawn is not None and drawn.shape == (240, 320, 3)
 
 
+def test_demo_cli_image_int8(tmp_path):
+    """`demo image --int8` calibrates on the first input and serves the
+    quantized graph end to end."""
+    import cv2
+
+    from yolox_tpu import YoloxConfig
+    from yolox_tpu.cli import main
+    from yolox_tpu.models.weights import save_pth_params
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    module = cfg.get_model()
+    ckpt = tmp_path / "nano.pth"
+    save_pth_params(module.params, ckpt)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "a.jpg"), np.random.default_rng(1).integers(
+        0, 255, (240, 320, 3), dtype=np.uint8))
+
+    out_dir = tmp_path / "outputs"
+    rc = main([
+        "demo", "image", "-c", "yolox-nano", "--path", str(img_dir),
+        "--ckpt", str(ckpt), "--conf", "1e-6", "--int8", "--save_result",
+        "--output-dir", str(out_dir),
+    ])
+    assert rc == 0
+    assert (out_dir / "a.jpg").exists()
+
+
 def test_numpy_demo_postprocess_matches_head_decode():
     """demo_postprocess (numpy, for exported raw outputs) must equal the
     in-graph decode."""

@@ -33,6 +33,9 @@ def make_parser():
     parser.add_argument("--save_result", action="store_true")
     parser.add_argument("--output-dir", type=str, default="./yolox_outputs")
     parser.add_argument("--fp16", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 PTQ inference, calibrated on the first "
+                             "input image/frame (yolox_tpu/ops/quant.py)")
     parser.add_argument("-D", dest="opts", action="append", default=[],
                         metavar="KEY=VALUE")
     return parser
@@ -53,6 +56,39 @@ def _load_model(config, args):
     else:
         module = YoloxModule.from_pretrained(config.name, dtype=dtype)
     return Yolox(module, YoloxProcessor(config))
+
+
+def _calibrate_int8(model, args):
+    """Calibrate the int8 activation table on the first input and switch
+    the wrapper's fused serving path to the quantized graph."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    path = Path(args.path)
+    if args.demo_type == "image":
+        from PIL import Image
+
+        first = (path if path.is_file() else next(iter(sorted(
+            p for p in path.rglob("*") if p.suffix.lower() in IMAGE_EXT))))
+        images = [Image.open(first)]
+    else:
+        import cv2
+
+        cap = cv2.VideoCapture(args.path)
+        ret, frame = cap.read()
+        cap.release()
+        if not ret:
+            logger.error("could not read a calibration frame")
+            return
+        images = [frame[:, :, ::-1]]
+        from PIL import Image
+
+        images = [Image.fromarray(np.ascontiguousarray(images[0]))]
+    batch = model.processor(images)
+    model.int8_qtab = model.module.calibrate_int8(
+        model.module.params, jnp.asarray(np.asarray(batch), jnp.float32))
+    logger.info(f"int8 calibration on {args.path}: "
+                f"{len(model.int8_qtab)} conv blocks")
 
 
 def _draw(image_bgr, dets, conf, class_names):
@@ -139,6 +175,8 @@ def main(argv=None) -> int:
     class_names = (COCO_CLASSES if config.num_classes == len(COCO_CLASSES)
                    else tuple(str(i) for i in range(config.num_classes)))
     model = _load_model(config, args)
+    if args.int8:
+        _calibrate_int8(model, args)
     if args.demo_type == "image":
         demo_images(model, args, class_names)
     else:

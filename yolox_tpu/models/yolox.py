@@ -44,6 +44,8 @@ class Yolox:
     def __init__(self, module: "YoloxModule", processor: YoloxProcessor):
         self.module = module
         self.processor = processor
+        # set to a `YoloxModule.calibrate_int8` table to serve int8 PTQ
+        self.int8_qtab: Optional[dict] = None
 
     @classmethod
     def from_pretrained(
@@ -83,7 +85,8 @@ class Yolox:
             # materially faster on TPU
             dets, valid = self.module.serve_jit(
                 batch, conf_thre=threshold,
-                nms_thre=self.processor.config.nmsthre, max_det=1024)
+                nms_thre=self.processor.config.nmsthre, max_det=1024,
+                int8_qtab=self.int8_qtab)
             return self.processor.postprocess_dets(
                 images, np.asarray(dets), np.asarray(valid))
         output = self.module(batch)
@@ -295,15 +298,18 @@ class YoloxModule:
         self._forward_eval = lambda p, x: fwd(p, x, qtab)
 
     def serve_jit(self, x, conf_thre: float = 0.5, nms_thre: float = 0.65,
-                  max_det: int = 256):
+                  max_det: int = 256, int8_qtab: Optional[dict] = None):
         """Jitted `serve` on the module's own params (compiled once per
-        (batch shape, max_det); thresholds are traced, not baked in)."""
+        (batch shape, max_det, qtab identity); thresholds are traced, not
+        baked in)."""
         x = jnp.asarray(np.asarray(x), jnp.float32)
-        if getattr(self, "_serve_max_det", None) != max_det:
-            self._serve_max_det = max_det
+        key = (max_det, id(int8_qtab))
+        if getattr(self, "_serve_key", None) != key:
+            self._serve_key = key
             self._serve_jit = jax.jit(
                 lambda p, xx, conf, nms: self.serve(
-                    p, xx, conf_thre=conf, nms_thre=nms, max_det=max_det))
+                    p, xx, conf_thre=conf, nms_thre=nms, max_det=max_det,
+                    int8_qtab=int8_qtab))
         p = self.params
         if self.dtype != jnp.float32:
             p = self.cast_params(p, self.dtype)
