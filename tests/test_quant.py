@@ -152,6 +152,28 @@ def test_enable_int8_eval_forward(small_module):
     assert rms_rel < 0.15, rms_rel
 
 
+def test_percentile_calibration(small_module):
+    """Percentile calibration clips outliers: every scale basis is <= the
+    abs-max table's, strictly less where the input has a heavy tail, and
+    the resulting table still serves."""
+    m, cfg = small_module
+    rng = np.random.default_rng(6)
+    x = np.asarray(rng.uniform(0, 255, (2, 128, 128, 3)), np.float32)
+    x[0, 0, 0] = 1e4  # inject an outlier into the stem input
+    x = jnp.asarray(x)
+
+    qmax = m.calibrate_int8(m.params, x)
+    qpct = m.calibrate_int8(m.params, x, percentile=99.9)
+    le = sum(float(qpct[k]) <= float(qmax[k]) + 1e-6 for k in qmax)
+    assert le == len(qmax)
+    stem = "backbone.backbone.stem.conv"  # sees the raw-image outlier
+    assert float(qpct[stem]) < float(qmax[stem]) * 0.5
+
+    d, v = jax.jit(lambda p, xx: m.serve(p, xx, conf_thre=0.05, max_det=16,
+                                         int8_qtab=qpct))(m.params, x)
+    assert np.isfinite(np.asarray(d)).all()
+
+
 def test_int8_composes_with_mesh_serving(small_module):
     """make_serving_fn(int8_qtab=...) over a (data, space) mesh equals the
     single-device int8 serve — quantization is pointwise per block, so

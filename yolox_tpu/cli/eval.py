@@ -44,6 +44,10 @@ def make_parser():
     parser.add_argument("--calib-batches", type=int, default=8,
                         help="number of eval batches used for int8 "
                              "activation-scale calibration")
+    parser.add_argument("--calib-pct", type=float, default=None,
+                        help="calibrate activation scales at this "
+                             "percentile of |x| instead of the abs-max "
+                             "(outlier clipping, e.g. 99.99)")
     parser.add_argument("--legacy", action="store_true",
                         help="legacy (ImageNet-normalized) preprocessing")
     parser.add_argument("--test", action="store_true",
@@ -93,7 +97,8 @@ def run_eval(config, args, num_devices=None):
 
         batches = (imgs for imgs, *_ in
                    it.islice(iter(evaluator.dataloader), args.calib_batches))
-        qtab = module.calibrate_int8(module.params, batches)
+        qtab = module.calibrate_int8(module.params, batches,
+                                     percentile=args.calib_pct)
         module.enable_int8(qtab)
         logger.info(f"\tint8 enabled ({len(qtab)} calibrated conv blocks).")
 

@@ -146,12 +146,14 @@ class Ctx:
     # int8 PTQ serving (yolox_tpu/ops/quant.py). `int8_qtab` maps each
     # BaseConv's parameter path to its calibrated input abs-max; when set
     # (eval only), every BaseConv runs quantize -> int8 conv -> dequant.
-    # `calib_sink`: when set, BaseConv records jnp.max(|input|) per path
-    # into the dict while running the ordinary float path — jit a forward
-    # and return the sink to collect a calibration table
-    # (YoloxModule.calibrate_int8).
+    # `calib_sink`: when set, BaseConv records the input's abs-max (or the
+    # `calib_q` percentile of |input| when set — the standard outlier-
+    # clipping PTQ knob) per path into the dict while running the ordinary
+    # float path — jit a forward and return the sink to collect a
+    # calibration table (YoloxModule.calibrate_int8).
     int8_qtab: Optional[Dict[str, Any]] = None
     calib_sink: Optional[Dict[str, Any]] = None
+    calib_q: Optional[float] = None
 
 
 EVAL_CTX = Ctx(train=False, collector=None)
@@ -298,7 +300,10 @@ class BaseConv(Module):
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
         bn_path = f"{path}.bn"
         if ctx.calib_sink is not None:
-            ctx.calib_sink[path] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            ax = jnp.abs(x).astype(jnp.float32)
+            ctx.calib_sink[path] = (
+                jnp.percentile(ax, ctx.calib_q) if ctx.calib_q is not None
+                else jnp.max(ax))
         if ctx.int8_qtab is not None:
             from yolox_tpu.ops import quant
             assert not ctx.train, "int8 PTQ is a serving/eval-only path"
@@ -510,6 +515,18 @@ class Focus(Module):
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
         k = self.ksize
         wb = self._space_to_depth_kernel(p["conv"]["conv"]["weight"])
+        if ctx.calib_sink is not None:
+            ax = jnp.abs(x).astype(jnp.float32)
+            ctx.calib_sink[f"{path}.conv"] = (
+                jnp.percentile(ax, ctx.calib_q) if ctx.calib_q is not None
+                else jnp.max(ax))
+        if ctx.int8_qtab is not None:
+            # quantize the folded 2k x 2k stride-2 stem conv like any
+            # BaseConv ((2k-1)//2 == k-1, the same 'same' padding)
+            from yolox_tpu.ops import quant
+            return quant.conv_bn_act(
+                x, {"conv": {"weight": wb}, "bn": p["conv"]["bn"]},
+                ctx.int8_qtab[f"{path}.conv"], 2, 1, self.conv.act)
         if ctx.lane_fold and self.fold_out > 1:
             # image folded by 2*fold_out (stride 2, folded stride 1): the
             # raw (B, H, W, 3) input goes lane-dense before the first conv

@@ -238,15 +238,18 @@ class YoloxModule:
             outs, grids, strides, self.head.num_classes, conf_thre,
             nms_thre, class_agnostic, max_det)
 
-    def calibrate_int8(self, params: dict, batches) -> dict:
+    def calibrate_int8(self, params: dict, batches,
+                       percentile: Optional[float] = None) -> dict:
         """Collect the int8 activation-scale table over calibration data.
 
         `batches`: iterable of (B, H, W, 3) float NHWC arrays (a single
         array is accepted too; NCHW is auto-transposed like `__call__`).
         Runs the eval forward with a calibration sink recording every
-        BaseConv input's abs-max, elementwise-maxed across batches.
-        Returns {param_path: f32 amax} for `serve(..., int8_qtab=...)` /
-        `enable_int8`. One jit compile per distinct batch shape.
+        BaseConv input's abs-max — or, with `percentile` (e.g. 99.99),
+        that percentile of |input|, the standard outlier-clipping PTQ
+        knob — elementwise-maxed across batches. Returns {param_path:
+        f32 scale basis} for `serve(..., int8_qtab=...)` / `enable_int8`.
+        One jit compile per distinct batch shape.
         """
         import dataclasses
 
@@ -256,7 +259,8 @@ class YoloxModule:
         @jax.jit
         def calib_fn(p, xx):
             sink = {}
-            ctx = dataclasses.replace(EVAL_CTX, calib_sink=sink)
+            ctx = dataclasses.replace(EVAL_CTX, calib_sink=sink,
+                                      calib_q=percentile)
             fpn = self.backbone(p["backbone"], xx, ctx, "backbone")
             self.head.forward_raw_levels(p["head"], fpn, ctx, "head")
             return sink
