@@ -4,8 +4,10 @@ TPU-native serving lever with no reference analog (the reference serves
 fp16 via TensorRT/torch, `/root/reference/docs/model_zoo.md:28-31`): the
 v5e MXU runs int8×int8→int32 at 394 TOPS — 2× its bf16 peak — and the
 heavy models' serving step is MXU-bound (docs/serving_performance.md), so
-weight+activation int8 is a direct throughput lever. int8 activations
-also halve padded HBM bytes for the bandwidth-bound light models.
+weight+activation int8 is a direct throughput lever. For the
+bandwidth-bound light models the win depends on XLA fusing the
+quantize into the conv's operand read (the block interface stays bf16
+in HBM); the per-model A/B lives in docs/serving_performance.md.
 
 Scheme (standard symmetric PTQ):
 - Weights: BatchNorm is folded into the conv (eval-mode running stats,
