@@ -260,6 +260,31 @@ def test_serve_accepts_uint8():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
 
 
+def test_yolox_call_batch_padding():
+    """Yolox.__call__ zero-pads to the next power-of-two batch (bounded
+    compile count for variable request sizes); results are identical to
+    the exact-size batch and padded rows never leak into the output."""
+    from PIL import Image
+
+    from yolox_tpu import Yolox, YoloxConfig, YoloxModule, YoloxProcessor
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    cfg.test_size = (64, 64)
+    model = Yolox(YoloxModule.from_config(cfg), YoloxProcessor(cfg))
+
+    rng = np.random.default_rng(9)
+    imgs = [Image.fromarray(rng.integers(0, 255, (96, 128, 3),
+                                         dtype=np.uint8)) for _ in range(3)]
+    got3 = model(imgs, threshold=1e-5)        # 3 -> padded to 4
+    assert len(got3) == 3
+    got2 = model(imgs[:2], threshold=1e-5)    # 2 == power of two, no pad
+    for a, b in zip(got3[:2], got2):
+        assert a["labels"] == b["labels"]
+        np.testing.assert_allclose(np.asarray(a["bboxes"]),
+                                   np.asarray(b["bboxes"]),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_yolox_call_fused_equals_manual_pipeline():
     """Yolox.__call__ (fused serve path) must equal the manual
     module -> processor.postprocess pipeline in f32."""

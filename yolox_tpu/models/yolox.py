@@ -82,13 +82,23 @@ class Yolox:
         if self.module.head.decode_in_inference:
             # fused serving path: top-k select before decode, bitwise
             # identical to decode-then-postprocess in f32 (tested) and
-            # materially faster on TPU
+            # materially faster on TPU. The batch is zero-padded to the
+            # next power of two so variable request sizes hit a bounded
+            # set of compiled graphs (XLA compiles per static shape);
+            # padded rows' detections are dropped before postprocess.
+            n = len(images)
+            padded = 1 << (n - 1).bit_length() if n > 1 else 1
+            if padded != n:
+                batch = np.concatenate(
+                    [np.asarray(batch),
+                     np.zeros((padded - n,) + np.asarray(batch).shape[1:],
+                              np.asarray(batch).dtype)])
             dets, valid = self.module.serve_jit(
                 batch, conf_thre=threshold,
                 nms_thre=self.processor.config.nmsthre, max_det=1024,
                 int8_qtab=self.int8_qtab)
             return self.processor.postprocess_dets(
-                images, np.asarray(dets), np.asarray(valid))
+                images, np.asarray(dets)[:n], np.asarray(valid)[:n])
         output = self.module(batch)
         return self.processor.postprocess(images, output, threshold=threshold)
 
