@@ -99,7 +99,7 @@ def main():
         if e.get("ph") != "X" or e.get("pid") not in op_pids:
             continue
         name = e.get("name", "")
-        if name.startswith(("tpu_program", "program")) or name in "012345679":
+        if name.startswith(("tpu_program", "program")) or name.isdigit():
             continue
         totals[name] += e.get("dur", 0.0)
         counts[name] += 1

@@ -98,6 +98,14 @@ def check_goldens(model_name, ckpt_path, expectations, images):
 
     config = YoloxConfig.get_named_config(model_name)
     model = Yolox.from_pretrained(str(ckpt_path), config=config)
+    if len(images) != len(expectations):
+        # The gate must never attest to more coverage than it compared:
+        # zip() below would silently truncate.
+        return {
+            "status": "fail",
+            "detail": f"{len(images)} images for "
+                      f"{len(expectations)} expectation rows",
+        }
     results = model([Image.open(p) for p in images], threshold=0.5)
 
     max_box = 0.0

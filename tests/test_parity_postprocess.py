@@ -244,6 +244,51 @@ def test_spatial_serving_matches_single_device():
             err_msg=f"{n_data}x{n_space}")
 
 
+def test_fused_payload_promotes_past_bf16_exactness():
+    """The (B, A, 10) candidate payload stores integer-valued columns
+    (class id, grid coords, stride); bf16 only represents integers up to
+    256, so configs past that bound must promote the table to f32 —
+    class ids above 255 and grid coords above 256 round otherwise."""
+    import jax.numpy as jnp
+
+    from yolox_tpu.models.head import exact_int_bound, level_grid
+    from yolox_tpu.ops.nms import _score_and_payload
+
+    assert exact_int_bound(jnp.bfloat16) == 256
+    assert exact_int_bound(jnp.float32) == 2 ** 24
+
+    rng = np.random.default_rng(3)
+    nc = 300  # > 257 classes: class id column needs f32
+    outs = jnp.asarray(rng.uniform(0, 1, (2, 64, 5 + nc)), jnp.bfloat16)
+    grid = level_grid(8, 8, jnp.bfloat16)
+    stride = jnp.full((64, 1), 8, jnp.bfloat16)
+    masked, tbl = _score_and_payload(outs, grid, stride, nc, 0.01)
+    assert tbl.dtype == jnp.float32
+    assert masked.dtype == jnp.bfloat16
+    cls = np.asarray(
+        jnp.argmax(outs[..., 5:5 + nc].astype(jnp.float32), axis=-1))
+    np.testing.assert_array_equal(np.asarray(tbl[..., 6]), cls)
+
+    # > 2048 px input (grid coord > 256): level_grid refuses bf16
+    big = level_grid(1, 300, jnp.bfloat16)
+    assert big.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(big[:, 0]), np.arange(300))
+    # and the payload follows the promoted grid even for few classes
+    outs80 = jnp.asarray(rng.uniform(0, 1, (1, 300, 85)), jnp.bfloat16)
+    _, tbl80 = _score_and_payload(
+        outs80, big, jnp.full((300, 1), 8, jnp.bfloat16), 80, 0.01)
+    assert tbl80.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(tbl80[0, :, 7]),
+                                  np.arange(300))
+
+    # default envelope stays bf16 (no traffic regression)
+    g = level_grid(80, 80, jnp.bfloat16)
+    outs_def = jnp.asarray(rng.uniform(0, 1, (1, 6400, 85)), jnp.bfloat16)
+    _, tbl_def = _score_and_payload(
+        outs_def, g, jnp.full((6400, 1), 8, jnp.bfloat16), 80, 0.01)
+    assert tbl_def.dtype == jnp.bfloat16
+
+
 def test_serve_accepts_uint8():
     import jax.numpy as jnp
 

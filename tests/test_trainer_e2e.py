@@ -284,9 +284,15 @@ def test_multiscale_warmup_precompiles_bucket_sizes(tiny_cfg):
     tiny_cfg.multiscale_range = 1          # buckets: 32, 64, 96
     tiny_cfg.warmup_multiscale = True
     trainer = tiny_cfg.get_trainer(_args(tiny_cfg.output_dir))
+    # after_train signals the daemon to stop after its current compile
+    # (training is over; further compiles only serve the persistent
+    # cache) — disable that for the test so the full bucket enumeration
+    # can be asserted even though this run ends in seconds.
+    trainer._stop_multiscale_warmup = lambda *a, **k: None
     trainer.train()
     assert trainer._warmup_thread is not None
     trainer._warmup_thread.join(timeout=300)
+    assert not trainer._warmup_thread.is_alive()
     # 2 non-default sizes x 2 steps (plain + L1)
     assert trainer.warmup_compiled == 4
 

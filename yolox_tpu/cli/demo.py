@@ -78,8 +78,12 @@ def _calibrate_int8(model, args):
         ret, frame = cap.read()
         cap.release()
         if not ret:
-            logger.error("could not read a calibration frame")
-            return
+            # Hard failure: silently serving the float graph after the
+            # user asked for --int8 would misreport every downstream
+            # number as quantized.
+            raise RuntimeError(
+                f"--int8: could not read a calibration frame from "
+                f"{args.path}")
         images = [frame[:, :, ::-1]]
         from PIL import Image
 

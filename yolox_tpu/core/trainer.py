@@ -550,21 +550,20 @@ class Trainer:
         self._warmup_thread.start()
 
     def _stop_multiscale_warmup(self, timeout: float = 300.0):
-        """Wait for the warmup thread; if it is still compiling after the
-        grace period, tell it to stop after the current compile so it
-        cannot outlive the trainer or contend with post-train work."""
+        """Stop the warmup thread after its current compile. Training is
+        over by the time this runs, so any not-yet-started compiles are
+        useless — signal stop FIRST, then wait out only the in-flight
+        compile (bounded by the grace period)."""
         th = getattr(self, "_warmup_thread", None)
         if th is None or not th.is_alive():
             return
+        self._warmup_stop.set()
         th.join(timeout=timeout)
         if th.is_alive():
-            self._warmup_stop.set()
-            th.join(timeout=timeout)
-            if th.is_alive():
-                logger.warning(
-                    "multiscale warmup thread still compiling after %.0fs; "
-                    "leaving the daemon to finish in the background",
-                    timeout)
+            logger.warning(
+                "multiscale warmup thread still compiling after %.0fs; "
+                "leaving the daemon to finish in the background",
+                timeout)
 
     def _multiscale_resize(self, inps, targets):
         """On-device bilinear resize to the current multiscale size."""

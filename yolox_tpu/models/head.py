@@ -31,10 +31,24 @@ from yolox_tpu.models.blocks import (
 )
 
 
+def exact_int_bound(dtype) -> int:
+    """Largest N such that every integer in [0, N] is exactly representable
+    in `dtype` (mantissa bits + 1 implied bit; 2**24 for f32)."""
+    return 2 ** (jnp.finfo(dtype).nmant + 1)
+
+
 def level_grid(hsize: int, wsize: int, dtype=jnp.float32):
-    """Anchor-center grid for one level: (h*w, 2) of (x=col, y=row), row-major."""
+    """Anchor-center grid for one level: (h*w, 2) of (x=col, y=row), row-major.
+
+    Cell coordinates must stay exact integers: if the requested dtype
+    cannot represent max(h, w) - 1 exactly (bf16 rounds integers above
+    256, i.e. inputs beyond 2048 px at stride 8), the grid is kept in
+    f32 instead — downstream decode/payload math promotes.
+    """
     xv, yv = np.meshgrid(np.arange(wsize), np.arange(hsize))  # indexing='xy'
     grid = np.stack((xv, yv), axis=2).reshape(hsize * wsize, 2)
+    if max(hsize, wsize) - 1 > exact_int_bound(dtype):
+        dtype = jnp.float32
     return jnp.asarray(grid, dtype=dtype)
 
 

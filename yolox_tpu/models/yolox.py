@@ -89,10 +89,10 @@ class Yolox:
             n = len(images)
             padded = 1 << (n - 1).bit_length() if n > 1 else 1
             if padded != n:
+                arr = np.asarray(batch)
                 batch = np.concatenate(
-                    [np.asarray(batch),
-                     np.zeros((padded - n,) + np.asarray(batch).shape[1:],
-                              np.asarray(batch).dtype)])
+                    [arr, np.zeros((padded - n,) + arr.shape[1:],
+                                   arr.dtype)])
             dets, valid = self.module.serve_jit(
                 batch, conf_thre=threshold,
                 nms_thre=self.processor.config.nmsthre, max_det=1024,
@@ -211,39 +211,28 @@ class YoloxModule:
         conv+BN+act block as int8 on the MXU's 2x-rate int8 path
         (yolox_tpu/ops/quant.py). Mutually exclusive with lane folding.
         """
+        import dataclasses
+
+        from yolox_tpu.models.blocks import EVAL_CTX
         from yolox_tpu.ops.nms import postprocess_fused_levels
 
         if x.dtype == jnp.uint8 or self.dtype != jnp.float32:
             x = x.astype(self.dtype)
-        if int8_qtab is not None:
-            import dataclasses
-
-            from yolox_tpu.models.blocks import EVAL_CTX
-
-            ctx = dataclasses.replace(EVAL_CTX, int8_qtab=int8_qtab)
-            fpn_outs = self.backbone(params["backbone"], x, ctx, "backbone")
-            outs, grids, strides = self.head.forward_raw_levels(
-                params["head"], fpn_outs, ctx, "head")
-            return postprocess_fused_levels(
-                outs, grids, strides, self.head.num_classes, conf_thre,
-                nms_thre, class_agnostic, max_det)
         if lane_fold is None:
             lane_fold = getattr(self.config, "serve_lane_fold", False)
-        if lane_fold:
+        if int8_qtab is not None:
+            ctx = dataclasses.replace(EVAL_CTX, int8_qtab=int8_qtab)
+        elif lane_fold:
             # lane-dense folded backbone execution (lane_fold.py): a FLOP
             # -for-bytes trade that wins on bandwidth-bound light models
             # (nano/tiny) and loses on compute-bound s/m/l/x — see
             # config.serve_lane_fold and docs/serving_performance.md
-            import dataclasses
-
-            from yolox_tpu.models.blocks import EVAL_CTX
-
             ctx = dataclasses.replace(EVAL_CTX, lane_fold=True)
-            fpn_outs = self.backbone(params["backbone"], x, ctx, "backbone")
         else:
-            fpn_outs = self.backbone(params["backbone"], x)
+            ctx = EVAL_CTX
+        fpn_outs = self.backbone(params["backbone"], x, ctx, "backbone")
         outs, grids, strides = self.head.forward_raw_levels(
-            params["head"], fpn_outs)
+            params["head"], fpn_outs, ctx, "head")
         return postprocess_fused_levels(
             outs, grids, strides, self.head.num_classes, conf_thre,
             nms_thre, class_agnostic, max_det)

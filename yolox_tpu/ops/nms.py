@@ -189,7 +189,9 @@ def postprocess_fused(
     postprocess hotspot (~2.8 ms/batch of the nano b256 pipeline's 14.5 ms
     device time — each gather is row-fetch-bound, so width is nearly free
     and count is everything). The class index, grid coordinates and strides
-    are small integers, exact in bf16 (|v| < 256).
+    are small integers, exact in bf16 (|v| <= 256) for default-size
+    configs; `_score_and_payload` promotes the table to f32 when a config
+    exceeds that bound (num_classes > 257 or inputs > 2048 px).
     """
     masked, tbl = _score_and_payload(
         outputs, grid, stride, num_classes, conf_thre)
@@ -236,13 +238,26 @@ def _score_and_payload(outputs, grid, stride, num_classes, conf_thre):
     score = outputs[..., 4] * class_conf
     masked = jnp.where(score >= conf_thre, score, NEG_INF_SCORE)
 
+    # The payload's integer-valued columns (class index, grid coords,
+    # stride) must round-trip exactly through the table dtype. bf16 only
+    # represents integers up to 256: promote the table to f32 when the
+    # class count exceeds that, or when the grid was already promoted for
+    # the same reason (`head.level_grid` on > 2048 px inputs). Keeps the
+    # documented |v| <= 256 contract instead of silently corrupting class
+    # ids / box positions on exotic configs.
+    from yolox_tpu.models.head import exact_int_bound
+
+    pdt = jnp.promote_types(dt, grid.dtype)
+    if num_classes - 1 > exact_int_bound(pdt):
+        pdt = jnp.promote_types(pdt, jnp.float32)
+
     tbl = jnp.concatenate(
         [
-            outputs[..., :5],
-            class_conf[..., None],
-            class_pred.astype(dt)[..., None],
-            jnp.broadcast_to(grid.astype(dt)[None], (b, a, 2)),
-            jnp.broadcast_to(stride.astype(dt)[None], (b, a, 1)),
+            outputs[..., :5].astype(pdt),
+            class_conf[..., None].astype(pdt),
+            class_pred.astype(pdt)[..., None],
+            jnp.broadcast_to(grid.astype(pdt)[None], (b, a, 2)),
+            jnp.broadcast_to(stride.astype(pdt)[None], (b, a, 1)),
         ],
         axis=-1,
     )

@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BN_EPS = 1e-3  # single-sourced semantics with blocks.py (ref yolox/config.py:162)
+from yolox_tpu.models.blocks import BN_EPS  # single source (ref yolox/config.py:162)
 
 # Flip to True (tests) to run the Pallas kernels in interpreter mode on CPU.
 _INTERPRET = False
