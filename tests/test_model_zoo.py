@@ -129,6 +129,50 @@ def test_demo_cli_image_int8(tmp_path):
     assert (out_dir / "a.jpg").exists()
 
 
+def test_demo_cli_video(tmp_path):
+    """Drive `yolox-tpu demo video` end to end: the pipelined stream must
+    annotate every frame in order and write a decodable video."""
+    import cv2
+
+    from yolox_tpu import YoloxConfig
+    from yolox_tpu.cli import main
+    from yolox_tpu.models.weights import save_pth_params
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    module = cfg.get_model()
+    ckpt = tmp_path / "nano.pth"
+    save_pth_params(module.params, ckpt)
+
+    vid = tmp_path / "in.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 5,
+                        (128, 96))
+    if not w.isOpened():
+        pytest.skip("cv2 VideoWriter cannot encode mp4v here")
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        w.write(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+    w.release()
+    cap = cv2.VideoCapture(str(vid))
+    ok, _ = cap.read()
+    cap.release()
+    if not ok:
+        pytest.skip("cv2 cannot decode the mp4 it wrote")
+
+    out_dir = tmp_path / "outputs"
+    rc = main([
+        "demo", "video", "-c", "yolox-nano", "--path", str(vid),
+        "--ckpt", str(ckpt), "--conf", "1e-6", "--save_result",
+        "--batch", "2", "--output-dir", str(out_dir),
+    ])
+    assert rc == 0
+    cap = cv2.VideoCapture(str(out_dir / "in.mp4"))
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 5
+
+
 def test_numpy_demo_postprocess_matches_head_decode():
     """demo_postprocess (numpy, for exported raw outputs) must equal the
     in-graph decode."""

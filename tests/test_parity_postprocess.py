@@ -244,6 +244,33 @@ def test_spatial_serving_matches_single_device():
             err_msg=f"{n_data}x{n_space}")
 
 
+def test_yolox_stream_matches_call():
+    """Yolox.stream (pipelined batch serving) must yield exactly
+    __call__'s detections, in input order, including the ragged
+    power-of-two-padded tail batch."""
+    from PIL import Image
+
+    from yolox_tpu import Yolox, YoloxConfig, YoloxModule, YoloxProcessor
+
+    cfg = YoloxConfig.get_named_config("yolox_nano")
+    cfg.test_size = (64, 64)
+    model = Yolox(YoloxModule.from_config(cfg), YoloxProcessor(cfg))
+
+    rng = np.random.default_rng(11)
+    imgs = [Image.fromarray(rng.integers(0, 255, (80, 100, 3),
+                                         dtype=np.uint8)) for _ in range(5)]
+    want = model(imgs, threshold=1e-5)
+    got = list(model.stream(iter(imgs), threshold=1e-5, batch_size=2))
+    assert len(got) == 5                       # batches 2, 2, 1 (tail)
+    for a, b in zip(got, want):
+        assert a["labels"] == b["labels"]
+        np.testing.assert_allclose(np.asarray(a["bboxes"]),
+                                   np.asarray(b["bboxes"]),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a["scores"]),
+                                   np.asarray(b["scores"]), atol=1e-6)
+
+
 def test_fused_payload_promotes_past_bf16_exactness():
     """The (B, A, 10) candidate payload stores integer-valued columns
     (class id, grid coords, stride); bf16 only represents integers up to

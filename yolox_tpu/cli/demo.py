@@ -31,6 +31,9 @@ def make_parser():
     parser.add_argument("--nms", type=float, default=None)
     parser.add_argument("--tsize", type=int, default=None)
     parser.add_argument("--save_result", action="store_true")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="images per device batch for the pipelined "
+                             "stream (throughput knob; latency prefers 1)")
     parser.add_argument("--output-dir", type=str, default="./yolox_outputs")
     parser.add_argument("--fp16", action="store_true")
     parser.add_argument("--int8", action="store_true",
@@ -118,11 +121,16 @@ def demo_images(model, args, class_names):
     if args.save_result:
         out_dir.mkdir(parents=True, exist_ok=True)
 
-    for f in files:
-        t0 = time.time()
-        dets = model([Image.open(f)], threshold=args.conf)[0]
+    # pipelined stream: decode/letterbox of the next batch overlaps the
+    # device inference of the current one (Yolox.stream)
+    t0 = time.time()
+    for f, dets in zip(files, model.stream(
+            (Image.open(f) for f in files), threshold=args.conf,
+            batch_size=args.batch)):
+        t1 = time.time()
         logger.info(f"{f.name}: {len(dets['labels'])} objects, "
-                    f"{(time.time() - t0) * 1000:.1f} ms")
+                    f"{(t1 - t0) * 1000:.1f} ms")
+        t0 = t1
         if args.save_result:
             img = cv2.imread(str(f))
             img = _draw(img, dets, args.conf, class_names)
@@ -148,13 +156,27 @@ def demo_video(model, args, class_names):
             out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
             (width, height))
         logger.info(f"writing to {out_path}")
+    # Pipelined stream: frame decode + letterbox of upcoming frames
+    # overlaps device inference of the in-flight batch (Yolox.stream).
+    # Frames are retained in a FIFO until their detections come back —
+    # the stream runs at most one batch ahead, bounding the queue to
+    # ~2 * batch frames.
+    from collections import deque
+
+    in_flight = deque()
+
+    def frames():
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                return
+            in_flight.append(frame)
+            yield frame[:, :, ::-1]  # model expects RGB (PIL convention)
+
     n = 0
-    while True:
-        ret, frame = cap.read()
-        if not ret:
-            break
-        # model expects RGB (PIL convention)
-        dets = model([frame[:, :, ::-1]], threshold=args.conf)[0]
+    for dets in model.stream(frames(), threshold=args.conf,
+                             batch_size=args.batch):
+        frame = in_flight.popleft()
         n += 1
         if writer is not None:
             writer.write(_draw(frame, dets, args.conf, class_names))

@@ -61,6 +61,14 @@ class Yolox:
             config or str(pretrained_model_name_or_path))
         return cls(module, processor)
 
+    @staticmethod
+    def _to_image(image) -> Image.Image:
+        if isinstance(image, Image.Image):
+            return image
+        if isinstance(image, np.ndarray):  # HWC RGB uint8 frame
+            return Image.fromarray(image)
+        return Image.open(image)
+
     def __call__(
         self,
         inputs: Iterable[Union[Image.Image, str, os.PathLike]],
@@ -70,14 +78,8 @@ class Yolox:
             # Back-compat: raw batched tensor in, decoded predictions out
             # (deprecated pattern, `yolox.py:42-44`).
             return self.module(inputs)
-        def to_image(image):
-            if isinstance(image, Image.Image):
-                return image
-            if isinstance(image, np.ndarray):  # HWC RGB uint8 frame
-                return Image.fromarray(image)
-            return Image.open(image)
-
-        images: List[Image.Image] = [to_image(image) for image in inputs]
+        images: List[Image.Image] = [self._to_image(image)
+                                     for image in inputs]
         batch = self.processor(images)
         if self.module.head.decode_in_inference:
             # fused serving path: top-k select before decode, bitwise
@@ -101,6 +103,71 @@ class Yolox:
                 images, np.asarray(dets)[:n], np.asarray(valid)[:n])
         output = self.module(batch)
         return self.processor.postprocess(images, output, threshold=threshold)
+
+    def stream(
+        self,
+        inputs: Iterable[Union[Image.Image, str, os.PathLike, np.ndarray]],
+        threshold: float = 0.5,
+        batch_size: int = 16,
+    ):
+        """Pipelined serving over a stream of images: yields one
+        `Detections` dict per input, in order.
+
+        Same results as `__call__` batch by batch, but software-pipelined
+        the way the evaluator is (`evaluators/coco_evaluator.py`): JAX
+        dispatch is asynchronous, so batch k+1's host work — image
+        decode, letterbox preprocess, H2D transfer — runs while the
+        device is still executing batch k, and batch k's result fetch
+        happens only once batch k+1 is in flight. The synchronous
+        `__call__` serializes those stages per request; on a video/
+        directory workload the host side is a large fraction of wall
+        time (the reference demo loop is fully synchronous per frame,
+        `/root/reference/yolox/tools/demo.py:282-301`).
+
+        A ragged tail batch is zero-padded to the next power of two
+        (same bounded-compile-count rule as `__call__`).
+        """
+        import itertools
+
+        if not self.module.head.decode_in_inference:
+            # legacy decode path has no fused device postprocess to
+            # overlap with — plain batched loop, identical results
+            it = iter(inputs)
+            while True:
+                chunk = list(itertools.islice(it, batch_size))
+                if not chunk:
+                    return
+                yield from self(chunk, threshold=threshold)
+
+        def fetch(pending):
+            images, dets, valid, n = pending
+            return self.processor.postprocess_dets(
+                images, np.asarray(dets)[:n], np.asarray(valid)[:n])
+
+        it = iter(inputs)
+        pending = None
+        while True:
+            chunk = list(itertools.islice(it, batch_size))
+            if not chunk:
+                break
+            images = [self._to_image(image) for image in chunk]
+            batch = self.processor(images)
+            n = len(images)
+            padded = 1 << (n - 1).bit_length() if n > 1 else 1
+            if padded != n:
+                arr = np.asarray(batch)
+                batch = np.concatenate(
+                    [arr, np.zeros((padded - n,) + arr.shape[1:],
+                                   arr.dtype)])
+            dets, valid = self.module.serve_jit(   # async dispatch
+                batch, conf_thre=threshold,
+                nms_thre=self.processor.config.nmsthre, max_det=1024,
+                int8_qtab=self.int8_qtab)
+            if pending is not None:
+                yield from fetch(pending)
+            pending = (images, dets, valid, n)
+        if pending is not None:
+            yield from fetch(pending)
 
 
 class YoloxModule:
