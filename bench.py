@@ -155,7 +155,8 @@ def bench_fwd(name, batch, iters):
     }
 
 
-def bench_train(name, batch, iters, remat=False, device_aug=False):
+def bench_train(name, batch, iters, remat=False, device_aug=False,
+                pipelined=False):
     import jax
     import jax.numpy as jnp
 
@@ -170,11 +171,11 @@ def bench_train(name, batch, iters, remat=False, device_aug=False):
     lr = jnp.float32(0.01)
 
     if device_aug:
-        from yolox_tpu.core import make_augmented_train_step
+        from yolox_tpu.core import (
+            make_augmented_train_step,
+            make_pipelined_train_step,
+        )
 
-        step_aug = make_augmented_train_step(
-            module, cfg.num_classes, compute_dtype=jnp.bfloat16,
-            remat=remat)
         tiles = jnp.asarray(rng.integers(
             0, 255, (batch, 5, size, size, 3), dtype=np.uint8))
         hw = jnp.full((batch, 5, 2), float(size), jnp.float32)
@@ -182,9 +183,27 @@ def bench_train(name, batch, iters, remat=False, device_aug=False):
             np.tile(_toy_labels(batch, size, 8)[:, None], (1, 5, 1, 1)))
         key = jax.random.PRNGKey(0)
 
-        def one_iter(state, i):
-            return step_aug(state, tiles, hw, raw_labels,
-                            jax.random.fold_in(key, i), lr, (size, size))
+        if pipelined:
+            prime, step_pipe = make_pipelined_train_step(
+                module, cfg.num_classes, compute_dtype=jnp.bfloat16,
+                remat=remat)
+            carried = prime(tiles, hw, raw_labels, key, (size, size))
+
+            def one_iter(state, i):
+                nonlocal carried
+                state, m, *carried = step_pipe(
+                    state, *carried, tiles, hw, raw_labels,
+                    jax.random.fold_in(key, i), lr, (size, size))
+                return state, m
+        else:
+            step_aug = make_augmented_train_step(
+                module, cfg.num_classes, compute_dtype=jnp.bfloat16,
+                remat=remat)
+
+            def one_iter(state, i):
+                return step_aug(state, tiles, hw, raw_labels,
+                                jax.random.fold_in(key, i), lr,
+                                (size, size))
     else:
         x = jnp.asarray(rng.uniform(0, 255, (batch, size, size, 3)),
                         jnp.float32)
@@ -204,6 +223,7 @@ def bench_train(name, batch, iters, remat=False, device_aug=False):
 
     dt = _best_of(run, repeats=2)
     tag = " incl. on-device augmentation" if device_aug else ""
+    tag += " (pipelined)" if pipelined else ""
     tag += ", remat" if remat else ""
     return {
         "metric": f"yolox_{name} {size}px training step{tag} "
@@ -226,7 +246,8 @@ README_ROWS = [
 ]
 
 
-def run_one(model, mode, batch, iters, remat, int8=False):
+def run_one(model, mode, batch, iters, remat, int8=False,
+            pipelined=False):
     if mode == "serve":
         out = bench_serve(model, batch or SERVE_BATCH[model], iters,
                           int8=int8)
@@ -243,7 +264,7 @@ def run_one(model, mode, batch, iters, remat, int8=False):
                           remat=remat)
     else:
         out = bench_train(model, batch or TRAIN_BATCH[model], iters,
-                          device_aug=True)
+                          device_aug=True, pipelined=pipelined)
     return out
 
 
@@ -261,6 +282,10 @@ def main():
                     help="serve modes: post-training int8 quantized "
                          "forward (calibrated on the bench batch; "
                          "yolox_tpu/ops/quant.py)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="train-aug: software-pipelined variant (step n "
+                         "+ augment n+1 in one program; "
+                         "core/train_step.py:make_pipelined_train_step)")
     ap.add_argument("--all", action="store_true",
                     help="run every README benchmark row (one JSON line "
                          "each; expect long compiles for l/x)")
@@ -273,7 +298,7 @@ def main():
         return
 
     out = run_one(args.model, args.mode, args.batch, args.iters, args.remat,
-                  int8=args.int8)
+                  int8=args.int8, pipelined=args.pipelined)
     print(json.dumps(out))
 
 

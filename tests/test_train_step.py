@@ -351,6 +351,66 @@ def test_fused_augment_step_matches_separate(tiny_module):
                                float(m_d["total_loss"]), rtol=1e-6)
 
 
+def test_pipelined_step_matches_serial_fused(tiny_module):
+    """make_pipelined_train_step (step n + augment n+1 in one program)
+    must produce the same state trajectory as make_augmented_train_step
+    over a 3-iteration run with per-iteration keys and a multiscale
+    bucket switch, and its carried batch must equal prime()'s output."""
+    from yolox_tpu.core import (
+        init_train_state,
+        make_augmented_train_step,
+        make_pipelined_train_step,
+    )
+
+    module, cfg = tiny_module
+    size = 64
+    rng = np.random.default_rng(9)
+    b = 2
+    tiles = jnp.asarray(rng.integers(
+        0, 255, (b, 5, size, size, 3), dtype=np.uint8))
+    hw = jnp.full((b, 5, 2), float(size), jnp.float32)
+    labels = np.zeros((b, 5, 6, 5), np.float32)
+    labels[..., 0, :] = [12, 12, 44, 44, 0]
+    labels[..., 1, :] = [5, 18, 28, 50, 6]
+    labels = jnp.asarray(labels)
+    lr = jnp.float32(0.01)
+    keys = [jax.random.PRNGKey(100 + i) for i in range(4)]
+    tsizes = [(size, size), (96, 96), (size, size)]
+
+    serial = make_augmented_train_step(
+        module, cfg.num_classes, use_ema=False,
+        augment_kwargs=dict(max_labels=16))
+    prime, pipe = make_pipelined_train_step(
+        module, cfg.num_classes, use_ema=False,
+        augment_kwargs=dict(max_labels=16))
+
+    state_a = init_train_state(module.params, use_ema=False)
+    metrics_a = []
+    for i in range(3):
+        state_a, m = serial(state_a, tiles, hw, labels, keys[i], lr,
+                            (size, size), tsizes[i])
+        metrics_a.append(float(m["total_loss"]))
+
+    state_b = init_train_state(module.params, use_ema=False)
+    imgs, packed = prime(tiles, hw, labels, keys[0], (size, size))
+    metrics_b = []
+    for i in range(3):
+        state_b, m, imgs, packed = pipe(
+            state_b, imgs, packed, tiles, hw, labels, keys[i + 1], lr,
+            (size, size), tsizes[i])
+        metrics_b.append(float(m["total_loss"]))
+
+    np.testing.assert_allclose(metrics_a, metrics_b, rtol=1e-6)
+    for la, lb in zip(jax.tree.leaves(state_a["params"]),
+                      jax.tree.leaves(state_b["params"])):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-6)
+    # the carried batch left over equals a fresh prime with the last key
+    imgs_p, packed_p = prime(tiles, hw, labels, keys[3], (size, size))
+    np.testing.assert_array_equal(np.asarray(imgs), np.asarray(imgs_p))
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(packed_p))
+
+
 def test_static_prob_fast_paths_match_generic(tiny_module):
     """mosaic_prob/hsv_prob == 1.0 take trace-time fast paths (the plain
     image path and the HSV select are skipped); the result must equal the

@@ -233,3 +233,64 @@ def make_augmented_train_step(module, num_classes: int, *,
         return step(state, imgs, packed, lr)
 
     return jax.jit(step_aug, donate_argnums=(0,), static_argnums=(6, 7))
+
+
+def make_pipelined_train_step(module, num_classes: int, *,
+                              augment_kwargs: Optional[dict] = None,
+                              **step_kwargs):
+    """Software-pipelined augment + step: ONE program runs the train step
+    on batch n and the augmentation of batch n+1.
+
+    The two computations are independent, so XLA's scheduler is free to
+    interleave the augmentation's MXU-heavy work (interpolation matmuls,
+    shear kernels) with the step's HBM-bound stretches — the step has
+    FLOP slack to burn (docs/train_step_performance.md), the augmentation
+    is the opposite. Whether the scheduler actually exploits that is an
+    empirical question: `bench.py --mode train-aug --pipelined` is the
+    A/B against `make_augmented_train_step` (the serial fusion).
+
+    Returns (prime, step):
+      prime(tiles, hw, labels, key, out_size) -> (imgs, packed)
+        augmentation only — produces the first carried batch.
+      step(state, imgs, packed, tiles, hw, labels, key, lr, out_size,
+           train_size) -> (state, metrics, next_imgs, next_packed)
+        consumes the carried batch (multiscale-resizing it from out_size
+        to train_size in-program, label rescale included) and augments
+        the next one. imgs/packed are donated — the carried batch is
+        replaced by an identically-shaped successor every call.
+
+    The carried batch always lives at `out_size` (the size-invariant
+    augmentation geometry), so its shape is stable across multiscale
+    bucket switches; only `train_size` changes trigger a recompile, same
+    as the serial variant.
+    """
+    from yolox_tpu.data.device_augment import device_augment_batch
+
+    aug = dict(augment_kwargs or {})
+    aug.setdefault("image_dtype", step_kwargs.get("compute_dtype",
+                                                  jnp.float32))
+    step = make_train_step(module, num_classes, _jit=False, **step_kwargs)
+
+    def prime(tiles, hw, labels, key, out_size):
+        return device_augment_batch(
+            tiles, hw, labels, key, out_size=out_size, **aug)
+
+    def step_pipe(state, imgs, packed, tiles, hw, labels, key, lr,
+                  out_size, train_size=None):
+        if train_size is not None and tuple(train_size) != tuple(out_size):
+            b, _, _, c = imgs.shape
+            imgs = jax.image.resize(
+                imgs, (b, train_size[0], train_size[1], c),
+                method="bilinear", antialias=False)
+            sy = train_size[0] / out_size[0]
+            sx = train_size[1] / out_size[1]
+            packed = packed * jnp.asarray(
+                [1.0, sx, sy, sx, sy], packed.dtype)
+        new_state, metrics = step(state, imgs, packed, lr)
+        next_imgs, next_packed = device_augment_batch(
+            tiles, hw, labels, key, out_size=out_size, **aug)
+        return new_state, metrics, next_imgs, next_packed
+
+    return (jax.jit(prime, static_argnums=(4,)),
+            jax.jit(step_pipe, donate_argnums=(0, 1, 2),
+                    static_argnums=(8, 9)))
