@@ -34,9 +34,18 @@ fold never changes parameter shapes or the state-dict layout — kernels
 are scattered into folded form inside the forward (autodiff carries
 gradients back through the scatter exactly).
 
-Depthwise convs fold to `feature_group_count=C` grouped convs (each
-logical channel's k slots form one contiguous group), costing k x the
-(tiny) depthwise FLOPs while making nano/tiny's activations lane-dense.
+Depthwise convs are NOT folded to grouped convs: a
+`feature_group_count=C` conv whose groups each span k_in folded slots
+makes XLA's TPU conv lowering explode at scale (a nano b256 serving
+graph exceeded a 10-minute compile budget). Instead `fold_conv_dw_taps`
+evaluates the depthwise conv directly in the folded representation as
+kh*kw slot-shifted elementwise multiply-adds: in the 5-D view
+(B, H, Wf, C, k_in), every tap (dy, dx) reads a strided slice of the
+slot axis (with spill into the neighbouring folded column at the block
+boundary) and multiplies by the per-channel tap weight. All taps fuse
+into one elementwise pass over lane-dense tensors — no conv op at all,
+fast to compile, exact, and the VPU work is proportional to the logical
+(not padded) element count.
 """
 
 from __future__ import annotations
@@ -105,6 +114,68 @@ def fold_kernel_dw(w, stride: int, pad: int, k_in: int, k_out: int):
     return wf, -g_min, g_max, sigma
 
 
+def fold_conv_dw_taps(x, w, stride: int, pad: Tuple[int, int],
+                      k_in: int, k_out: int):
+    """Depthwise conv on a channel-major folded input, evaluated as
+    kh*kw slot-shifted elementwise multiply-adds (no grouped conv).
+
+    `x`: (B, H, Wf, C*k_in); `w`: logical depthwise kernel (kh, kw, 1, C);
+    `pad`: logical (pad_h, pad_w). Requires sigma = stride*k_out/k_in == 1
+    (true for every depthwise conv in the backbone: in-stage convs are
+    stride 1 with k_out == k_in, downsamples are stride 2 with
+    k_out == k_in/2). Exactly equivalent to unfold -> dw conv -> fold.
+    """
+    kh, kw, one, c = w.shape
+    assert one == 1
+    ph, pw = pad
+    assert stride * k_out == k_in, (stride, k_in, k_out)
+    b, h, wf, cik = x.shape
+    assert cik == c * k_in, (cik, c, k_in)
+    w_log = wf * k_in
+    w_out_log = (w_log + 2 * pw - kw) // stride + 1
+    assert w_out_log % k_out == 0, (w_out_log, k_out)
+    wf_out = w_out_log // k_out
+    # sigma == 1 keeps the folded width; taps only ever spill one folded
+    # column left/right (|t| <= stride*(k_out-1) + kw - 1 - pw < 2*k_in
+    # for the 3x3/5x5 kernels used here).
+    assert wf_out == wf, (wf_out, wf)
+    h_out = (h + 2 * ph - kh) // stride + 1
+
+    x5 = x.reshape(b, h, wf, c, k_in)
+    x5 = jnp.pad(x5, ((0, 0), (ph, ph), (1, 1), (0, 0), (0, 0)))
+    out = None
+    for dy in range(kh):
+        xr = jax.lax.slice_in_dim(
+            x5, dy, dy + stride * (h_out - 1) + 1, stride, axis=1)
+        for dx in range(kw):
+            # source slot of output slot j': t = stride*j' + dx - pw,
+            # read from folded column u + floor(t/k_in), slot t mod k_in.
+            pieces = []
+            j = 0
+            while j < k_out:
+                t = stride * j + dx - pw
+                g = t // k_in
+                # last j' (exclusive) still reading from column offset g
+                j_end = min(k_out,
+                            -(-((g + 1) * k_in - (dx - pw)) // stride))
+                count = j_end - j
+                j2 = t - g * k_in
+                assert 0 <= g + 1 <= 2 and 0 <= j2 < k_in, (g, j2)
+                piece = jax.lax.slice(
+                    xr,
+                    (0, 0, 1 + g, 0, j2),
+                    (b, h_out, 1 + g + wf, c,
+                     j2 + stride * (count - 1) + 1),
+                    (1, 1, 1, 1, stride))
+                pieces.append(piece)
+                j = j_end
+            gathered = (jnp.concatenate(pieces, axis=-1)
+                        if len(pieces) > 1 else pieces[0])
+            term = gathered * w[dy, dx, 0][:, None].astype(x.dtype)
+            out = term if out is None else out + term
+    return out.reshape(b, h_out, wf, c * k_out)
+
+
 def fold_conv(x, w, stride: int, pad: Tuple[int, int], k_in: int,
               k_out: int, groups: int = 1):
     """Conv on a channel-major folded input; returns the folded output.
@@ -127,6 +198,10 @@ def fold_conv(x, w, stride: int, pad: Tuple[int, int], k_in: int,
     else:
         ci = cik // k_in
         assert groups == ci, "folded conv supports groups in {1, Ci}"
+        if stride * k_out == k_in:
+            # the common depthwise case (sigma == 1): tap evaluation,
+            # no grouped conv (see module docstring — compile scaling)
+            return fold_conv_dw_taps(x, w, stride, pad, k_in, k_out)
         wfk, pl, g_max, sigma = fold_kernel_dw(w, stride, pw, k_in, k_out)
         fg = ci
     pr = sigma * (wf_out - 1) + g_max - (wf_in - 1)
