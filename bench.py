@@ -234,15 +234,19 @@ def bench_train(name, batch, iters, remat=False, device_aug=False,
     }
 
 
-# the full README benchmark matrix: (model, mode, remat) per row, in
-# README order — `--all` regenerates every row as one JSON line each
+# the full README benchmark matrix: (model, mode, remat, int8) per row,
+# in README order — `--all` regenerates every row as one JSON line each
 README_ROWS = [
-    ("nano", "serve", False), ("tiny", "serve", False),
-    ("s", "serve", False), ("s", "serve-b1", False),
-    ("m", "serve", False), ("l", "serve", False), ("x", "serve", False),
-    ("s", "fwd", False),
-    ("s", "train", False), ("s", "train-aug", False),
-    ("m", "train", False), ("l", "train", False), ("x", "train", True),
+    ("nano", "serve", False, False), ("tiny", "serve", False, False),
+    ("s", "serve", False, False), ("s", "serve-b1", False, False),
+    ("m", "serve", False, False), ("m", "serve", False, True),
+    ("l", "serve", False, False), ("l", "serve", False, True),
+    ("x", "serve", False, False), ("x", "serve", False, True),
+    ("s", "fwd", False, False),
+    ("nano", "train", False, False), ("tiny", "train", False, False),
+    ("s", "train", False, False), ("s", "train-aug", False, False),
+    ("m", "train", False, False), ("l", "train", False, False),
+    ("x", "train", True, False),
 ]
 
 
@@ -292,8 +296,8 @@ def main():
     args = ap.parse_args()
 
     if args.all:
-        for model, mode, remat in README_ROWS:
-            out = run_one(model, mode, None, args.iters, remat)
+        for model, mode, remat, int8 in README_ROWS:
+            out = run_one(model, mode, None, args.iters, remat, int8=int8)
             print(json.dumps(out), flush=True)
         return
 

@@ -406,9 +406,14 @@ def test_pipelined_step_matches_serial_fused(tiny_module):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=1e-5, atol=1e-6)
     # the carried batch left over equals a fresh prime with the last key
+    # (tolerance, not bitwise: the augment subgraph is compiled standalone
+    # in prime() but fused into the larger step_pipe program, and XLA
+    # does not guarantee bit-identical f32 across different programs)
     imgs_p, packed_p = prime(tiles, hw, labels, keys[3], (size, size))
-    np.testing.assert_array_equal(np.asarray(imgs), np.asarray(imgs_p))
-    np.testing.assert_array_equal(np.asarray(packed), np.asarray(packed_p))
+    np.testing.assert_allclose(np.asarray(imgs), np.asarray(imgs_p),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(packed_p),
+                               rtol=1e-5, atol=1e-4)
 
 
 def test_static_prob_fast_paths_match_generic(tiny_module):

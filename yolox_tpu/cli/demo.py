@@ -122,21 +122,28 @@ def demo_images(model, args, class_names):
         out_dir.mkdir(parents=True, exist_ok=True)
 
     # pipelined stream: decode/letterbox of the next batch overlaps the
-    # device inference of the current one (Yolox.stream)
+    # device inference of the current one (Yolox.stream). Per-image
+    # wall-clock is not attributable inside a pipeline (a batch's device
+    # time surfaces at its first yield, save work bills to the next), so
+    # the honest number is the end-to-end mean reported at the end.
     t0 = time.time()
+    count = 0
     for f, dets in zip(files, model.stream(
             (Image.open(f) for f in files), threshold=args.conf,
             batch_size=args.batch)):
-        t1 = time.time()
-        logger.info(f"{f.name}: {len(dets['labels'])} objects, "
-                    f"{(t1 - t0) * 1000:.1f} ms")
-        t0 = t1
+        count += 1
+        logger.info(f"{f.name}: {len(dets['labels'])} objects")
         if args.save_result:
             img = cv2.imread(str(f))
             img = _draw(img, dets, args.conf, class_names)
             out = out_dir / f.name
             cv2.imwrite(str(out), img)
             logger.info(f"saved {out}")
+    if count:
+        total = time.time() - t0
+        logger.info(f"{count} images in {total:.2f} s "
+                    f"({total * 1000 / count:.1f} ms/image end-to-end, "
+                    f"incl. decode/draw/save)")
 
 
 def demo_video(model, args, class_names):

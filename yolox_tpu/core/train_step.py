@@ -221,18 +221,27 @@ def make_augmented_train_step(module, num_classes: int, *,
                  train_size=None):
         imgs, packed = device_augment_batch(
             tiles, hw, labels, key, out_size=out_size, **aug)
-        if train_size is not None and tuple(train_size) != tuple(out_size):
-            b, _, _, c = imgs.shape
-            imgs = jax.image.resize(
-                imgs, (b, train_size[0], train_size[1], c),
-                method="bilinear", antialias=False)
-            sy = train_size[0] / out_size[0]
-            sx = train_size[1] / out_size[1]
-            packed = packed * jnp.asarray(
-                [1.0, sx, sy, sx, sy], packed.dtype)
+        imgs, packed = _multiscale_resize(imgs, packed, out_size,
+                                          train_size)
         return step(state, imgs, packed, lr)
 
     return jax.jit(step_aug, donate_argnums=(0,), static_argnums=(6, 7))
+
+
+def _multiscale_resize(imgs, packed, out_size, train_size):
+    """Resize an augmented batch from its canonical `out_size` to the
+    current multiscale `train_size`, rescaling the packed
+    (cls, cx, cy, w, h) labels to match. No-op when sizes agree."""
+    if train_size is None or tuple(train_size) == tuple(out_size):
+        return imgs, packed
+    b, _, _, c = imgs.shape
+    imgs = jax.image.resize(
+        imgs, (b, train_size[0], train_size[1], c),
+        method="bilinear", antialias=False)
+    sy = train_size[0] / out_size[0]
+    sx = train_size[1] / out_size[1]
+    packed = packed * jnp.asarray([1.0, sx, sy, sx, sy], packed.dtype)
+    return imgs, packed
 
 
 def make_pipelined_train_step(module, num_classes: int, *,
@@ -277,15 +286,8 @@ def make_pipelined_train_step(module, num_classes: int, *,
 
     def step_pipe(state, imgs, packed, tiles, hw, labels, key, lr,
                   out_size, train_size=None):
-        if train_size is not None and tuple(train_size) != tuple(out_size):
-            b, _, _, c = imgs.shape
-            imgs = jax.image.resize(
-                imgs, (b, train_size[0], train_size[1], c),
-                method="bilinear", antialias=False)
-            sy = train_size[0] / out_size[0]
-            sx = train_size[1] / out_size[1]
-            packed = packed * jnp.asarray(
-                [1.0, sx, sy, sx, sy], packed.dtype)
+        imgs, packed = _multiscale_resize(imgs, packed, out_size,
+                                          train_size)
         new_state, metrics = step(state, imgs, packed, lr)
         next_imgs, next_packed = device_augment_batch(
             tiles, hw, labels, key, out_size=out_size, **aug)

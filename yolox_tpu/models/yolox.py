@@ -69,6 +69,33 @@ class Yolox:
             return Image.fromarray(image)
         return Image.open(image)
 
+    def _dispatch(self, images: List[Image.Image], threshold: float):
+        """Preprocess + async-dispatch one fused-serving batch.
+
+        The batch is zero-padded to the next power of two so variable
+        request sizes hit a bounded set of compiled graphs (XLA compiles
+        per static shape); padded rows' detections are dropped by the
+        `[:n]` slice at fetch time. Returns `(images, dets, valid, n)`
+        with `dets`/`valid` still in flight (JAX async dispatch).
+        """
+        batch = self.processor(images)
+        n = len(images)
+        padded = 1 << (n - 1).bit_length() if n > 1 else 1
+        if padded != n:
+            arr = np.asarray(batch)
+            batch = np.concatenate(
+                [arr, np.zeros((padded - n,) + arr.shape[1:], arr.dtype)])
+        dets, valid = self.module.serve_jit(
+            batch, conf_thre=threshold,
+            nms_thre=self.processor.config.nmsthre, max_det=1024,
+            int8_qtab=self.int8_qtab)
+        return images, dets, valid, n
+
+    def _fetch(self, pending) -> List[Detections]:
+        images, dets, valid, n = pending
+        return self.processor.postprocess_dets(
+            images, np.asarray(dets)[:n], np.asarray(valid)[:n])
+
     def __call__(
         self,
         inputs: Iterable[Union[Image.Image, str, os.PathLike]],
@@ -80,28 +107,12 @@ class Yolox:
             return self.module(inputs)
         images: List[Image.Image] = [self._to_image(image)
                                      for image in inputs]
-        batch = self.processor(images)
         if self.module.head.decode_in_inference:
             # fused serving path: top-k select before decode, bitwise
             # identical to decode-then-postprocess in f32 (tested) and
-            # materially faster on TPU. The batch is zero-padded to the
-            # next power of two so variable request sizes hit a bounded
-            # set of compiled graphs (XLA compiles per static shape);
-            # padded rows' detections are dropped before postprocess.
-            n = len(images)
-            padded = 1 << (n - 1).bit_length() if n > 1 else 1
-            if padded != n:
-                arr = np.asarray(batch)
-                batch = np.concatenate(
-                    [arr, np.zeros((padded - n,) + arr.shape[1:],
-                                   arr.dtype)])
-            dets, valid = self.module.serve_jit(
-                batch, conf_thre=threshold,
-                nms_thre=self.processor.config.nmsthre, max_det=1024,
-                int8_qtab=self.int8_qtab)
-            return self.processor.postprocess_dets(
-                images, np.asarray(dets)[:n], np.asarray(valid)[:n])
-        output = self.module(batch)
+            # materially faster on TPU.
+            return self._fetch(self._dispatch(images, threshold))
+        output = self.module(self.processor(images))
         return self.processor.postprocess(images, output, threshold=threshold)
 
     def stream(
@@ -129,6 +140,9 @@ class Yolox:
         """
         import itertools
 
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+
         if not self.module.head.decode_in_inference:
             # legacy decode path has no fused device postprocess to
             # overlap with — plain batched loop, identical results
@@ -139,11 +153,6 @@ class Yolox:
                     return
                 yield from self(chunk, threshold=threshold)
 
-        def fetch(pending):
-            images, dets, valid, n = pending
-            return self.processor.postprocess_dets(
-                images, np.asarray(dets)[:n], np.asarray(valid)[:n])
-
         it = iter(inputs)
         pending = None
         while True:
@@ -151,23 +160,12 @@ class Yolox:
             if not chunk:
                 break
             images = [self._to_image(image) for image in chunk]
-            batch = self.processor(images)
-            n = len(images)
-            padded = 1 << (n - 1).bit_length() if n > 1 else 1
-            if padded != n:
-                arr = np.asarray(batch)
-                batch = np.concatenate(
-                    [arr, np.zeros((padded - n,) + arr.shape[1:],
-                                   arr.dtype)])
-            dets, valid = self.module.serve_jit(   # async dispatch
-                batch, conf_thre=threshold,
-                nms_thre=self.processor.config.nmsthre, max_det=1024,
-                int8_qtab=self.int8_qtab)
+            dispatched = self._dispatch(images, threshold)  # async
             if pending is not None:
-                yield from fetch(pending)
-            pending = (images, dets, valid, n)
+                yield from self._fetch(pending)
+            pending = dispatched
         if pending is not None:
-            yield from fetch(pending)
+            yield from self._fetch(pending)
 
 
 class YoloxModule:
