@@ -21,6 +21,14 @@ jax.config.update("jax_platforms", "cpu")
 
 import pathlib  # noqa: E402
 
+# Persistent XLA compilation cache: repeat suite runs skip LLVM codegen
+# (the dominant cost on a 1-core host — e.g. the smoke-lane train step
+# compiles in 42 s cold / 9 s warm).  Safe across processes (content-hash
+# keyed files); bounded by the suite's own graph count.
+_CACHE_DIR = pathlib.Path(__file__).parent / ".xla_cache"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import pytest  # noqa: E402
 
 TESTS_DIR = pathlib.Path(__file__).parent
