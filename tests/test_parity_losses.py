@@ -203,9 +203,9 @@ def test_candidate_compaction_exact_vs_full():
 
 
 def test_simota_overflow_is_loud_at_640():
-    """A dense 640px scene (120 well-separated gts) exceeds the default
-    2048-candidate cap; the cand_overflow metric must fire, and the
-    config knob (simota_candidates=4096) must make it exact again."""
+    """A dense 640px scene (120 well-separated gts) exceeds an explicit
+    2048-candidate cap; the cand_overflow metric must fire, and a larger
+    cap (4096) — or the dense-exact default (None) — must be exact."""
     import jax.numpy as jnp
 
     from yolox_tpu.models.assign import compute_losses
@@ -247,3 +247,8 @@ def test_simota_overflow_is_loud_at_640():
     exact = compute_losses(
         head_out, jnp.asarray(labels), 80, num_candidates=4096)
     assert float(exact["cand_overflow"]) == 0.0
+
+    dense = compute_losses(head_out, jnp.asarray(labels), 80)  # default
+    assert float(dense["cand_overflow"]) == 0.0
+    for k in ("total_loss", "iou_loss", "conf_loss", "cls_loss"):
+        assert float(dense[k]) == pytest.approx(float(exact[k]), rel=1e-5)

@@ -128,8 +128,7 @@ def make_train_step(
             head_out, bn_updates = forward(params, xin)
             losses = compute_losses(
                 head_out, labels, num_classes, use_l1,
-                **({} if num_candidates is None
-                   else {"num_candidates": num_candidates}))
+                num_candidates=num_candidates)
             return losses["total_loss"], (losses, bn_updates)
 
         (_, (losses, bn_updates)), grads = jax.value_and_grad(

@@ -242,7 +242,10 @@ class Trainer:
             compute_dtype=compute_dtype,
             freeze_prefix=getattr(self.exp, "freeze_prefix", None),
             remat=getattr(self.exp, "remat", False),
-            num_candidates=getattr(self.exp, "simota_candidates", None),
+            num_candidates=(
+                self.exp.resolved_simota_candidates()
+                if hasattr(self.exp, "resolved_simota_candidates")
+                else getattr(self.exp, "simota_candidates", None)),
             fused_bwd=getattr(self.exp, "fused_conv_bwd", False),
         )
         self._step = make_train_step(
@@ -416,13 +419,16 @@ class Trainer:
             if overflow is not None and overflow.avg and overflow.avg > 0:
                 # compaction is exact only while candidates <= the cap;
                 # past it, assignment silently deviates from the reference
-                cap = getattr(self.exp, "simota_candidates", None)
+                cap = (self.exp.resolved_simota_candidates()
+                       if hasattr(self.exp, "resolved_simota_candidates")
+                       else getattr(self.exp, "simota_candidates", None))
                 logger.warning(
                     "SimOTA candidate compaction overflowed in "
                     f"{overflow.avg:.1%} of recent images (cap "
                     f"simota_candidates={cap}): label assignment deviates "
-                    "from the reference for those images — raise the cap "
-                    "(e.g. -D simota_candidates=4096)")
+                    "from the reference for those images — raise the cap, "
+                    "or clear the override (default None = dense-exact, "
+                    "which is also the measured-fastest form)")
 
             if self.rank == 0 and self.tblogger is not None:
                 self.tblogger.add_scalar(

@@ -8,14 +8,18 @@ shapes); here the whole batch is one fixed-shape vmapped computation:
   - padded ground-truth labels (M, 5) rows of (cls, cx, cy, w, h), zero rows
     = padding (the reference data pipeline already pads to max_labels,
     `data_augment.py:203-207`; `nlabel` semantics of `yolo_head.py:269`).
-  - **candidate compaction**: the geometry constraint admits at most ~27
-    anchors per gt (a 3x3 window on each of 3 pyramid levels), so instead
-    of dense (M, A) matrices over all A=8400 anchors, candidates are
-    compacted to a fixed top-N slice (the fixed-shape analog of the
-    reference's boolean gather, `yolo_head.py:459`). All O(M*N) work then
-    runs on N=2048 instead of 8400 — exact as long as the true candidate
-    count fits N, which the 3x3x3-window bound guarantees for M <= 75 and
-    overlapping gts make true in practice for the mosaic max of 120.
+  - **dense by default, compaction opt-in**: the geometry constraint
+    admits at most ~27 anchors per gt (a 3x3 window on each of 3 pyramid
+    levels), so the (M, A) matching matrices can be compacted to a fixed
+    top-N candidate slice (the fixed-shape analog of the reference's
+    boolean gather, `yolo_head.py:459`).  Measured on a v5e, though, the
+    dense form WINS at every production size — the top_k sort + gathers
+    cost more than the larger fused cost matrices save (yolox-s b64 640px
+    full step: dense 591 img/s vs 550 at N=2048 / 501 at N=4096; tiny
+    416px: 847 vs 754; nano: 524 vs 488) — so `num_candidates=None`
+    (dense, always exact) is the default and compaction is an explicit
+    memory/speed knob for cap < A.  Dense also sidesteps a TPU kernel
+    fault observed with full-length top_k at unaligned A (3549 at 416px).
   - dynamic-k selection via a fixed top-10 + rank mask
     (dynamic_k <= 10 always: it is int(sum of top-10 IoUs) <= 10),
   - conflict resolution via argmin over the gt axis.
@@ -37,7 +41,9 @@ BIG = 1e9          # excludes non-candidate anchors / padded gts from matching
 GEOM_PENALTY = 1e6  # reference's soft penalty for outside-center candidates
 CENTER_RADIUS = 1.5
 N_CANDIDATE_K = 10
-NUM_CANDIDATES = 2048  # compacted candidate slots (see module docstring)
+# default: dense-exact assignment over all anchors (see module docstring);
+# set num_candidates to an int to opt into candidate compaction
+NUM_CANDIDATES = None
 
 
 def _pairwise_iou_cxcywh(gt, pred):
@@ -86,9 +92,11 @@ def simota_assign(
     y_shifts,           # (A,)
     strides,            # (A,)
     num_classes: int,
-    num_candidates: int = NUM_CANDIDATES,
+    num_candidates: int | None = NUM_CANDIDATES,
 ) -> Dict[str, jnp.ndarray]:
     """Single-image SimOTA. vmap over the batch dimension.
+
+    num_candidates None (default) = dense-exact over all A anchors.
 
     Returns (all fixed-shape; N = min(num_candidates, A) compacted slots):
       fg_mask: (A,) bool — anchors assigned to some gt
@@ -105,7 +113,7 @@ def simota_assign(
     gt_boxes = gt_labels[:, 1:5]
     a = bbox_preds.shape[0]
     m = gt_labels.shape[0]
-    n = min(num_candidates, a)
+    n = a if num_candidates is None else min(num_candidates, a)
 
     # ---- geometry constraint (`yolo_head.py:511-540`) ----
     xc = (x_shifts + 0.5) * strides                     # (A,)
@@ -122,10 +130,17 @@ def simota_assign(
     )                                                    # (A,)
 
     # ---- compact candidates to N fixed slots ----
-    # top_k on the mask picks every true candidate first (stable, index
-    # order); slots beyond the true count carry cand_valid=False.
-    cand_score, cand_idx = jax.lax.top_k(candidate.astype(jnp.int32), n)
-    cand_valid = cand_score > 0                         # (N,)
+    if n >= a:
+        # Cap covers every anchor: compaction is the identity. Skipping
+        # top_k both saves the sort and avoids a TPU kernel fault seen
+        # with full-length top_k at unaligned A (e.g. 3549 at 416px).
+        cand_idx = jnp.arange(a, dtype=jnp.int32)
+        cand_valid = candidate                          # (A,)
+    else:
+        # top_k on the mask picks every true candidate first (stable,
+        # index order); slots past the true count carry cand_valid=False.
+        cand_score, cand_idx = jax.lax.top_k(candidate.astype(jnp.int32), n)
+        cand_valid = cand_score > 0                     # (N,)
     preds_c = jnp.take(bbox_preds, cand_idx, axis=0)             # (N, 4)
     obj_c = jnp.take(obj_logits, cand_idx, axis=0)               # (N,)
     cls_c = jnp.take(cls_logits, cand_idx, axis=0)               # (N, C)
@@ -231,7 +246,7 @@ def compute_losses(
     labels,                       # (B, M, 5)
     num_classes: int,
     use_l1: bool = False,
-    num_candidates: int = NUM_CANDIDATES,
+    num_candidates: int | None = NUM_CANDIDATES,
 ) -> Dict[str, jnp.ndarray]:
     """Batched YOLOX losses (`yolo_head.py:253-411`).
 
