@@ -87,29 +87,32 @@ def _toy_labels(batch, size, n=10):
     return labels
 
 
-def bench_serve(name, batch, iters, batch1=False, int8=False):
+def bench_serve(name, batch, iters, batch1=False, int8=False,
+                int8_hbm=False):
     import jax.numpy as jnp
 
     module, cfg = _model(name, jnp.bfloat16)
     size = cfg.test_size[0]
     if batch1:
-        batch, iters = 1, max(iters, 30)
+        batch, iters = 1, max(iters, 128)
 
     x = jnp.asarray(np.random.default_rng(0).uniform(
         0, 255, (batch, size, size, 3)), jnp.float32)
-    qtab = module.calibrate_int8(module.params, x) if int8 else None
+    qtab = (module.calibrate_int8(module.params, x)
+            if (int8 or int8_hbm) else None)
 
     def serve(p, x):
         return module.serve(p, x, conf_thre=0.5, nms_thre=cfg.nmsthre,
                             class_agnostic=False, max_det=256,
-                            int8_qtab=qtab)
+                            int8_qtab=qtab if int8 else None,
+                            int8_hbm_qtab=qtab if int8_hbm else None)
     run = _timed_loop(serve, module.params, x, iters,
                       lambda out: jnp.sum(out[0][:, 0, 0]))
     np.asarray(run(module.params, x))          # compile + warmup
     dt = _best_of(lambda: np.asarray(run(module.params, x)))
 
     anchor = V100_MS.get(name)
-    prec = "int8" if int8 else "bf16"
+    prec = "int8-hbm" if int8_hbm else ("int8" if int8 else "bf16")
     if batch1:
         ms = 1000 * dt / iters
         return {
@@ -250,17 +253,18 @@ README_ROWS = [
 ]
 
 
-def run_one(model, mode, batch, iters, remat, int8=False,
+def run_one(model, mode, batch, iters, remat, int8=False, int8_hbm=False,
             pipelined=False):
     if mode == "serve":
         out = bench_serve(model, batch or SERVE_BATCH[model], iters,
-                          int8=int8)
-        if model == "s" and batch is None and not int8:
+                          int8=int8, int8_hbm=int8_hbm)
+        if model == "s" and batch is None and not (int8 or int8_hbm):
             # keep the driver headline metric name stable
             out["metric"] = ("yolox_s 640px batched inference incl. NMS "
                              "(bf16)")
     elif mode == "serve-b1":
-        out = bench_serve(model, 1, iters, batch1=True, int8=int8)
+        out = bench_serve(model, 1, iters, batch1=True, int8=int8,
+                          int8_hbm=int8_hbm)
     elif mode == "fwd":
         out = bench_fwd(model, batch or SERVE_BATCH[model], iters)
     elif mode == "train":
@@ -286,6 +290,10 @@ def main():
                     help="serve modes: post-training int8 quantized "
                          "forward (calibrated on the bench batch; "
                          "yolox_tpu/ops/quant.py)")
+    ap.add_argument("--int8-hbm", action="store_true",
+                    help="serve modes: int8-activations-in-HBM PTQ "
+                         "(QTensor block interface; halves inter-block "
+                         "HBM bytes — the light-model lever)")
     ap.add_argument("--pipelined", action="store_true",
                     help="train-aug: software-pipelined variant (step n "
                          "+ augment n+1 in one program; "
@@ -302,7 +310,8 @@ def main():
         return
 
     out = run_one(args.model, args.mode, args.batch, args.iters, args.remat,
-                  int8=args.int8, pipelined=args.pipelined)
+                  int8=args.int8, int8_hbm=args.int8_hbm,
+                  pipelined=args.pipelined)
     print(json.dumps(out))
 
 

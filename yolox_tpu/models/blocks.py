@@ -91,9 +91,14 @@ def conv2d(x, w, stride: int = 1, groups: int = 1):
 def max_pool_same(x, ksize: int):
     """MaxPool2d(kernel_size=k, stride=1, padding=k//2), torch semantics."""
     pad = ksize // 2
+    # init must be a dtype-typed scalar: a plain python int weakly types to
+    # int32 (breaks int8 code pooling), a jnp array breaks the
+    # select_and_scatter transpose in reverse-mode autodiff
+    init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else x.dtype.type(jnp.iinfo(x.dtype).min))
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        init,
         jax.lax.max,
         window_dimensions=(1, ksize, ksize, 1),
         window_strides=(1, 1, 1, 1),
@@ -154,6 +159,12 @@ class Ctx:
     int8_qtab: Optional[Dict[str, Any]] = None
     calib_sink: Optional[Dict[str, Any]] = None
     calib_q: Optional[float] = None
+    # int8-in-HBM serving (quant.QTensor block interface): activations move
+    # between blocks as int8 codes + per-channel scale; producers requantize
+    # in their conv epilogue, consumers fold the incoming scale into their
+    # BN-folded weights. Table keys: "<path>.out" per BaseConv (post-act,
+    # per-channel amax), "<path>.addout" per residual add. Eval only.
+    int8_hbm_qtab: Optional[Dict[str, Any]] = None
 
 
 EVAL_CTX = Ctx(train=False, collector=None)
@@ -309,6 +320,23 @@ class BaseConv(Module):
             assert not ctx.train, "int8 PTQ is a serving/eval-only path"
             return quant.conv_bn_act(x, p, ctx.int8_qtab[path], self.stride,
                                      self.groups, self.act)
+        if ctx.int8_hbm_qtab is not None:
+            from yolox_tpu.ops import quant
+            assert not ctx.train, "int8 PTQ is a serving/eval-only path"
+            # A producer whose output feeds a residual add defers its
+            # requant to the add site (set by Bottleneck/ResLayer).
+            requant_out = not getattr(self, "defer_requant_hbm", False)
+            if isinstance(x, quant.QTensor):
+                return quant.conv_bn_act_hbm(
+                    x, p, ctx.int8_hbm_qtab.get(f"{path}.out"), self.stride,
+                    self.groups, self.act, requant_out=requant_out)
+            # entry conv (raw float input, e.g. a 3-channel stem): run the
+            # ordinary float block, then requantize the output
+            y = conv2d(x, p["conv"]["weight"], self.stride, self.groups)
+            y = self.act(batch_norm(p["bn"], y, ctx, bn_path))
+            if not requant_out:
+                return y
+            return quant.requant(y, ctx.int8_hbm_qtab[f"{path}.out"])
         if ctx.lane_fold and (self.fold_in > 1 or self.fold_out > 1):
             from yolox_tpu.ops import lane_fold as lf
             pad = (self.ksize - 1) // 2
@@ -340,7 +368,19 @@ class BaseConv(Module):
                 return y
         y = conv2d(x, p["conv"]["weight"], self.stride, self.groups)
         y = batch_norm(p["bn"], y, ctx, bn_path)
-        return self.act(y)
+        y = self.act(y)
+        if ctx.calib_sink is not None:
+            # per-channel post-act amax for the int8-in-HBM mode (the
+            # producer-side requant scale; Ctx.int8_hbm_qtab docstring)
+            ctx.calib_sink[f"{path}.out"] = _calib_channel_amax(y, ctx)
+        return y
+
+
+def _calib_channel_amax(y, ctx: Ctx):
+    ay = jnp.abs(y).astype(jnp.float32)
+    if ctx.calib_q is not None:
+        return jnp.percentile(ay, ctx.calib_q, axis=(0, 1, 2))
+    return jnp.max(ay, axis=(0, 1, 2))
 
 
 class DWConv(Module):
@@ -373,6 +413,11 @@ class Bottleneck(Module):
         self.conv2 = Conv(hidden, cout, 3, stride=1, act=act,
                           fold_in=fold, fold_out=fold)
         self.use_add = shortcut and cin == cout
+        if self.use_add:
+            # int8-in-HBM: conv2 defers its requant to the post-add site
+            # (single rounding at the calibrated "<path>.addout" amax)
+            (self.conv2.pconv if depthwise else self.conv2
+             ).defer_requant_hbm = True
 
     def init(self, rng) -> Params:
         return {"conv1": self.conv1.init(rng), "conv2": self.conv2.init(rng)}
@@ -380,7 +425,17 @@ class Bottleneck(Module):
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
         y = self.conv1(p["conv1"], x, ctx, f"{path}.conv1")
         y = self.conv2(p["conv2"], y, ctx, f"{path}.conv2")
-        return y + x if self.use_add else y
+        if not self.use_add:
+            return y
+        if ctx.int8_hbm_qtab is not None:
+            from yolox_tpu.ops import quant
+            # y is the deferred f32 activation; x is the block input QTensor
+            return quant.requant(y + quant.dequant(x),
+                                 ctx.int8_hbm_qtab[f"{path}.addout"])
+        out = y + x
+        if ctx.calib_sink is not None:
+            ctx.calib_sink[f"{path}.addout"] = _calib_channel_amax(out, ctx)
+        return out
 
 
 class ResLayer(Module):
@@ -390,6 +445,7 @@ class ResLayer(Module):
         mid = cin // 2
         self.layer1 = BaseConv(cin, mid, 1, 1, act="lrelu")
         self.layer2 = BaseConv(mid, cin, 3, 1, act="lrelu")
+        self.layer2.defer_requant_hbm = True  # requant at the add site
 
     def init(self, rng) -> Params:
         return {"layer1": self.layer1.init(rng), "layer2": self.layer2.init(rng)}
@@ -397,7 +453,14 @@ class ResLayer(Module):
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
         out = self.layer1(p["layer1"], x, ctx, f"{path}.layer1")
         out = self.layer2(p["layer2"], out, ctx, f"{path}.layer2")
-        return x + out
+        if ctx.int8_hbm_qtab is not None:
+            from yolox_tpu.ops import quant
+            return quant.requant(out + quant.dequant(x),
+                                 ctx.int8_hbm_qtab[f"{path}.addout"])
+        out = x + out
+        if ctx.calib_sink is not None:
+            ctx.calib_sink[f"{path}.addout"] = _calib_channel_amax(out, ctx)
+        return out
 
 
 class SPPBottleneck(Module):
@@ -428,14 +491,22 @@ class SPPBottleneck(Module):
 
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
         x = self.conv1(p["conv1"], x, ctx, f"{path}.conv1")
+        if ctx.int8_hbm_qtab is not None:
+            # pool int8 codes directly (scale-preserving; quant.py) and
+            # concat codes+scales — conv2 folds the per-channel scales in
+            from yolox_tpu.ops import quant
+            pool = lambda v, ks: quant.q_max_pool_same(v, ks)  # noqa: E731
+            cat = quant.q_concat
+        else:
+            pool, cat = max_pool_same, lambda xs: jnp.concatenate(xs, -1)
         if self.cascade:
             pools, y = [], x
             for _ in self.kernel_sizes:
-                y = max_pool_same(y, self.kernel_sizes[0])
+                y = pool(y, self.kernel_sizes[0])
                 pools.append(y)
         else:
-            pools = [max_pool_same(x, ks) for ks in self.kernel_sizes]
-        x = jnp.concatenate([x] + pools, axis=-1)
+            pools = [pool(x, ks) for ks in self.kernel_sizes]
+        x = cat([x] + pools)
         return self.conv2(p["conv2"], x, ctx, f"{path}.conv2")
 
 
@@ -471,7 +542,11 @@ class CspLayer(Module):
         x1 = self.conv1(p["conv1"], x, ctx, f"{path}.conv1")
         x2 = self.conv2(p["conv2"], x, ctx, f"{path}.conv2")
         x1 = self.m(p["m"], x1, ctx, f"{path}.m")
-        x = jnp.concatenate([x1, x2], axis=-1)
+        if ctx.int8_hbm_qtab is not None:
+            from yolox_tpu.ops import quant
+            x = quant.q_concat([x1, x2])
+        else:
+            x = jnp.concatenate([x1, x2], axis=-1)
         return self.conv3(p["conv3"], x, ctx, f"{path}.conv3")
 
 
@@ -542,7 +617,15 @@ class Focus(Module):
             ((k - 1, k - 1), (k - 1, k - 1)),
             dimension_numbers=_CONV_DN)
         y = batch_norm(p["conv"]["bn"], y, ctx, f"{path}.conv.bn")
-        return self.conv.act(y)
+        y = self.conv.act(y)
+        if ctx.calib_sink is not None:
+            ctx.calib_sink[f"{path}.conv.out"] = _calib_channel_amax(y, ctx)
+        if ctx.int8_hbm_qtab is not None:
+            # the 3-channel stem conv stays float; its output enters the
+            # int8-in-HBM domain here
+            from yolox_tpu.ops import quant
+            return quant.requant(y, ctx.int8_hbm_qtab[f"{path}.conv.out"])
+        return y
 
 
 def upsample_nearest_2x(x):

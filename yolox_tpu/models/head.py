@@ -70,6 +70,13 @@ class _PredConv(Module):
         return {"weight": w, "bias": b}
 
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
+        if ctx.int8_hbm_qtab is not None:
+            # preds stay un-quantized (no BN, decode-sensitive) but read
+            # the int8 codes directly: the input's per-channel scale folds
+            # into the f32 weight (exact), conv runs in bf16 as usual
+            from yolox_tpu.ops import quant
+            if isinstance(x, quant.QTensor):
+                return quant.pred_conv_hbm(x, p["weight"], p["bias"])
         # kernel cast = AMP semantics (f32 master weights, bf16 compute)
         y = jax.lax.conv_general_dilated(
             x, p["weight"].astype(x.dtype), (1, 1), ((0, 0), (0, 0)),

@@ -84,26 +84,34 @@ class YoloPafpn(Module):
         out_features = self.backbone(p["backbone"], x, ctx, f"{path}.backbone")
         x2, x1, x0 = [out_features[f] for f in self.in_features]
 
+        if ctx.int8_hbm_qtab is not None:
+            # int8-in-HBM: upsample/concat act on QTensor codes+scales
+            from yolox_tpu.ops.quant import q_concat, q_upsample_nearest_2x
+            upsample, cat = q_upsample_nearest_2x, q_concat
+        else:
+            upsample = upsample_nearest_2x
+            cat = lambda xs: jnp.concatenate(xs, axis=-1)  # noqa: E731
+
         fpn_out0 = self.lateral_conv0(p["lateral_conv0"], x0, ctx,
                                       f"{path}.lateral_conv0")
-        f_out0 = upsample_nearest_2x(fpn_out0)
-        f_out0 = jnp.concatenate([f_out0, x1], axis=-1)
+        f_out0 = upsample(fpn_out0)
+        f_out0 = cat([f_out0, x1])
         f_out0 = self.C3_p4(p["C3_p4"], f_out0, ctx, f"{path}.C3_p4")
 
         fpn_out1 = self.reduce_conv1(p["reduce_conv1"], f_out0, ctx,
                                      f"{path}.reduce_conv1")
-        f_out1 = upsample_nearest_2x(fpn_out1)
-        f_out1 = jnp.concatenate([f_out1, x2], axis=-1)
+        f_out1 = upsample(fpn_out1)
+        f_out1 = cat([f_out1, x2])
         pan_out2 = self.C3_p3(p["C3_p3"], f_out1, ctx, f"{path}.C3_p3")
 
         p_out1 = self.bu_conv2(p["bu_conv2"], pan_out2, ctx,
                                f"{path}.bu_conv2")
-        p_out1 = jnp.concatenate([p_out1, fpn_out1], axis=-1)
+        p_out1 = cat([p_out1, fpn_out1])
         pan_out1 = self.C3_n3(p["C3_n3"], p_out1, ctx, f"{path}.C3_n3")
 
         p_out0 = self.bu_conv1(p["bu_conv1"], pan_out1, ctx,
                                f"{path}.bu_conv1")
-        p_out0 = jnp.concatenate([p_out0, fpn_out0], axis=-1)
+        p_out0 = cat([p_out0, fpn_out0])
         pan_out0 = self.C3_n4(p["C3_n4"], p_out0, ctx, f"{path}.C3_n4")
 
         return (pan_out2, pan_out1, pan_out0)

@@ -44,8 +44,12 @@ class Yolox:
     def __init__(self, module: "YoloxModule", processor: YoloxProcessor):
         self.module = module
         self.processor = processor
-        # set to a `YoloxModule.calibrate_int8` table to serve int8 PTQ
+        # set to a `YoloxModule.calibrate_int8` table to serve int8 PTQ:
+        # `int8_qtab` = per-block ladder mode, `int8_hbm_qtab` = the
+        # int8-activations-in-HBM mode (the same calibration table feeds
+        # both; see YoloxModule.serve)
         self.int8_qtab: Optional[dict] = None
+        self.int8_hbm_qtab: Optional[dict] = None
 
     @classmethod
     def from_pretrained(
@@ -88,7 +92,7 @@ class Yolox:
         dets, valid = self.module.serve_jit(
             batch, conf_thre=threshold,
             nms_thre=self.processor.config.nmsthre, max_det=1024,
-            int8_qtab=self.int8_qtab)
+            int8_qtab=self.int8_qtab, int8_hbm_qtab=self.int8_hbm_qtab)
         return images, dets, valid, n
 
     def _fetch(self, pending) -> List[Detections]:
@@ -263,7 +267,8 @@ class YoloxModule:
     def serve(self, params: dict, x, conf_thre: float = 0.5,
               nms_thre: float = 0.65, class_agnostic: bool = False,
               max_det: int = 256, lane_fold: Optional[bool] = None,
-              int8_qtab: Optional[dict] = None):
+              int8_qtab: Optional[dict] = None,
+              int8_hbm_qtab: Optional[dict] = None):
         """Fused serving step: forward + top-k select + f32 decode of the
         selected candidates + on-device NMS, as one graph. x: (B, H, W, 3)
         float NHWC. Returns (detections (B, max_det, 7), valid mask).
@@ -275,6 +280,14 @@ class YoloxModule:
         `int8_qtab`: calibration table from `calibrate_int8` — runs every
         conv+BN+act block as int8 on the MXU's 2x-rate int8 path
         (yolox_tpu/ops/quant.py). Mutually exclusive with lane folding.
+
+        `int8_hbm_qtab`: table from `calibrate_int8(..., hbm=True)` — the
+        int8-in-HBM mode: activations CROSS block boundaries as int8
+        codes + per-channel scale (quant.QTensor), halving inter-block
+        HBM traffic; producers requantize in their conv epilogue and
+        consumers fold the incoming scale into their weights, so the
+        per-block quantize/dequant ladder of `int8_qtab` disappears.
+        The lever for the bandwidth-bound light models (nano/tiny).
         """
         import dataclasses
 
@@ -285,7 +298,9 @@ class YoloxModule:
             x = x.astype(self.dtype)
         if lane_fold is None:
             lane_fold = getattr(self.config, "serve_lane_fold", False)
-        if int8_qtab is not None:
+        if int8_hbm_qtab is not None:
+            ctx = dataclasses.replace(EVAL_CTX, int8_hbm_qtab=int8_hbm_qtab)
+        elif int8_qtab is not None:
             ctx = dataclasses.replace(EVAL_CTX, int8_qtab=int8_qtab)
         elif lane_fold:
             # lane-dense folded backbone execution (lane_fold.py): a FLOP
@@ -366,18 +381,19 @@ class YoloxModule:
         self._forward_eval = lambda p, x: fwd(p, x, qtab)
 
     def serve_jit(self, x, conf_thre: float = 0.5, nms_thre: float = 0.65,
-                  max_det: int = 256, int8_qtab: Optional[dict] = None):
+                  max_det: int = 256, int8_qtab: Optional[dict] = None,
+                  int8_hbm_qtab: Optional[dict] = None):
         """Jitted `serve` on the module's own params (compiled once per
         (batch shape, max_det, qtab identity); thresholds are traced, not
         baked in)."""
         x = jnp.asarray(np.asarray(x), jnp.float32)
-        key = (max_det, id(int8_qtab))
+        key = (max_det, id(int8_qtab), id(int8_hbm_qtab))
         if getattr(self, "_serve_key", None) != key:
             self._serve_key = key
             self._serve_jit = jax.jit(
                 lambda p, xx, conf, nms: self.serve(
                     p, xx, conf_thre=conf, nms_thre=nms, max_det=max_det,
-                    int8_qtab=int8_qtab))
+                    int8_qtab=int8_qtab, int8_hbm_qtab=int8_hbm_qtab))
         p = self.params
         if self.dtype != jnp.float32:
             p = self.cast_params(p, self.dtype)

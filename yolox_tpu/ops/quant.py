@@ -38,13 +38,33 @@ symmetric PTQ on YOLOX models is typically well under 1 mAP.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 INT8_MAX = 127.0
 _EPS = 1e-12
+
+
+class QTensor(NamedTuple):
+    """int8 activation living in HBM: codes + per-channel dequant scale.
+
+    The int8-in-HBM serving mode ("hbm", vs the per-block "ladder" mode
+    above) keeps the BLOCK INTERFACE itself int8: a producer's epilogue
+    requantizes (fused into the conv's output elementwise chain — no extra
+    HBM pass) and each consumer folds the incoming per-channel scale into
+    its BN-folded f32 weights BEFORE weight quantization (lossless,
+    loop-invariant, hoisted by XLA). Inter-block activations move half the
+    bf16 bytes — the lever the ladder mode lacks on the bandwidth-bound
+    light models (docs/serving_performance.md round-3 A/B: nano 0.74x).
+
+    `scale` is (C,) f32; dequantized value = codes * scale[channel].
+    Registered as a NamedTuple so it is a pytree and traces through jit.
+    """
+
+    codes: jnp.ndarray   # int8 (B, H, W, C)
+    scale: jnp.ndarray   # f32 (C,)
 
 
 def act_scale(amax):
@@ -114,3 +134,112 @@ def merge_amax(tables: Dict[str, jnp.ndarray], new: Dict[str, jnp.ndarray]):
     if not tables:
         return dict(new)
     return {k: jnp.maximum(tables[k], v) for k, v in new.items()}
+
+
+# ---------------------------------------------------------------------------
+# int8-in-HBM mode (QTensor block interface)
+# ---------------------------------------------------------------------------
+
+def channel_scale(amax):
+    """Per-channel activation scale (C,) with a floor against dead units."""
+    return jnp.maximum(jnp.asarray(amax, jnp.float32), _EPS) / INT8_MAX
+
+
+def requant(y, amax) -> QTensor:
+    """f32/bf16 activation -> QTensor at the calibrated per-channel amax.
+
+    The round/clip/cast chain is pure elementwise: when `y` is a conv
+    epilogue output, XLA fuses this into the conv's output fusion, so the
+    only HBM write is the int8 codes themselves.
+    """
+    s = channel_scale(amax)
+    q = jnp.round(y.astype(jnp.float32) / s)
+    return QTensor(jnp.clip(q, -INT8_MAX, INT8_MAX).astype(jnp.int8), s)
+
+
+def dequant(qt: QTensor, dtype=jnp.float32):
+    return qt.codes.astype(dtype) * qt.scale.astype(dtype)
+
+
+def q_concat(qts, axis: int = -1) -> QTensor:
+    """Channel concat: codes concat + scale concat (both per-channel)."""
+    return QTensor(jnp.concatenate([q.codes for q in qts], axis=axis),
+                   jnp.concatenate([q.scale for q in qts], axis=0))
+
+
+def q_add(a: QTensor, b: QTensor, out_amax) -> QTensor:
+    """Residual add: dequant both operands, add in f32, requant at the
+    calibrated post-add amax. All elementwise — fuses into the producing
+    conv's epilogue; only int8 codes touch HBM."""
+    return requant(dequant(a) + dequant(b), out_amax)
+
+
+def q_upsample_nearest_2x(qt: QTensor) -> QTensor:
+    from yolox_tpu.models.blocks import upsample_nearest_2x
+
+    return QTensor(upsample_nearest_2x(qt.codes), qt.scale)
+
+
+def q_max_pool_same(qt: QTensor, ksize: int) -> QTensor:
+    """Max pool on int8 codes directly: scales are per-channel and
+    positive, and pooling is spatial-only, so max over codes == codes of
+    max over dequantized values."""
+    from yolox_tpu.models.blocks import max_pool_same
+
+    return QTensor(max_pool_same(qt.codes, ksize), qt.scale)
+
+
+def fold_in_scale(w_fused, scale, groups: int):
+    """Fold a consumer input's per-channel dequant scale into the BN-folded
+    f32 weights (HWIO): conv(codes * scale[c], w) == conv(codes, w * scale).
+
+    groups == 1: scale broadcasts over the input-channel axis. Depthwise
+    (groups == cin, I == 1): input channel c feeds output channel c, so the
+    scale folds over the output axis. Other group counts are unused in the
+    model zoo.
+    """
+    if groups == 1:
+        return w_fused * scale[None, None, :, None]
+    if w_fused.shape[2] == 1 and groups == w_fused.shape[3]:
+        return w_fused * scale[None, None, None, :]
+    raise NotImplementedError(f"grouped conv with groups={groups}")
+
+
+def conv_bn_act_hbm(qt: QTensor, p, out_amax, stride: int, groups: int,
+                    act, requant_out: bool = True):
+    """BaseConv body in int8-in-HBM mode.
+
+    int8 codes in -> int8 conv (int32 MXU accumulate; the input's
+    per-channel scale is pre-folded into the f32 weights, so dequant is
+    just acc * sw) -> +bias -> activation -> requantize to the producer's
+    calibrated output amax. With `requant_out=False`, returns the f32
+    activation instead (deferred requant, e.g. before a residual add).
+    """
+    w_fused, bias = fold_bn(p["conv"]["weight"], p["bn"])
+    w_eff = fold_in_scale(w_fused, qt.scale, groups)
+    wq, sw = weight_qparams(w_eff)
+    k = wq.shape[0]
+    pad = (k - 1) // 2
+    acc = jax.lax.conv_general_dilated(
+        qt.codes, wq,
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    y = act(acc.astype(jnp.float32) * sw + bias)
+    return requant(y, out_amax) if requant_out else y
+
+
+def pred_conv_hbm(qt: QTensor, weight, bias, compute_dtype=jnp.bfloat16):
+    """1x1 prediction conv consuming a QTensor: the input scale folds into
+    the f32 weight (exact), then the conv runs in `compute_dtype` on the
+    raw codes — the head preds stay un-quantized (no BN, decode-sensitive)
+    but still read int8 bytes from HBM."""
+    w_eff = (weight.astype(jnp.float32)
+             * qt.scale[None, None, :, None]).astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        qt.codes.astype(compute_dtype), w_eff, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(y.dtype)
