@@ -97,7 +97,7 @@ def test_gate_passes_on_reference_fixture(fixture_ckpt, tmp_path):
     out = tmp_path / "PARITY.json"
     rc = _run(["--models", "yolox_nano", "--weights-dir", str(tmp),
                "--expectations", str(exp_path), "--skip-map",
-               "--out", str(out)])
+               "--skip-train", "--out", str(out)])
     report = json.loads(out.read_text())
     entry = report["models"]["yolox_nano"]
     assert rc == 0, entry
@@ -116,7 +116,7 @@ def test_gate_fails_on_perturbed_expectations(fixture_ckpt, tmp_path):
     out = tmp_path / "PARITY.json"
     rc = _run(["--models", "yolox_nano", "--weights-dir", str(tmp),
                "--expectations", str(bad_path), "--skip-map",
-               "--out", str(out)])
+               "--skip-train", "--out", str(out)])
     assert rc == 1
     report = json.loads(out.read_text())
     assert report["models"]["yolox_nano"]["goldens"]["status"] == "fail"
@@ -134,7 +134,7 @@ def test_gate_reports_missing_weights(fixture_ckpt, tmp_path, monkeypatch):
     monkeypatch.setattr(urllib.request, "urlretrieve", _no_net)
     out = tmp_path / "PARITY.json"
     rc = _run(["--models", "yolox_tiny", "--weights-dir", str(tmp_path),
-               "--skip-map", "--out", str(out)])
+               "--skip-map", "--skip-train", "--out", str(out)])
     assert rc == 2
     report = json.loads(out.read_text())
     assert report["models"]["yolox_tiny"]["weights"] == "missing"
@@ -147,9 +147,50 @@ def test_map_leg_not_run_without_data(fixture_ckpt, tmp_path):
     rc = _run(["--models", "yolox_nano", "--weights-dir", str(tmp),
                "--expectations", str(exp_path),
                "--data-dir", str(tmp_path / "nonexistent"),
-               "--out", str(out)])
+               "--skip-train", "--out", str(out)])
     assert rc == 2
     report = json.loads(out.read_text())
     assert report["models"]["yolox_nano"]["map"]["status"] == "not-run"
     np.testing.assert_allclose(
         report["models"]["yolox_nano"]["map"]["expected_map"], 25.8)
+
+
+def test_train_parity_leg(tmp_path):
+    """Leg 3 direct: N seeded SGD steps match the reference torch trainer
+    on identical batches from a shared random checkpoint — and the
+    comparison is sharp enough that a mismatched trajectory (different
+    lr) fails it. Uses a PLAIN random ckpt: the goldens fixture's
+    amplified pred weights (sigma 1e6, needed to clear the detection
+    threshold) overflow the f32 train-mode forward."""
+    if not reference_available():
+        pytest.skip("/root/reference not available")
+    sys.path.insert(0, str(SCRIPTS))
+    try:
+        import verify_pretrained as vp
+    finally:
+        sys.path.pop(0)
+    from yolox_tpu import YoloxConfig, YoloxModule
+    from yolox_tpu.models.weights import save_pth_params
+
+    m = YoloxModule.from_config(
+        YoloxConfig.get_named_config("yolox_nano"), rng_seed=3)
+    ckpt = tmp_path / "yolox_nano.pth"
+    save_pth_params(m.params, str(ckpt))
+
+    res = vp.check_train_parity("yolox_nano", ckpt, steps=3, batch=2,
+                                size=256)
+    assert res["status"] == "pass", res
+    # trajectories are non-trivial (the loss moves) and genuinely compared
+    assert len(res["loss_ours"]) == 3
+    assert res["loss_ours"][0] != res["loss_ours"][-1]
+    assert res["median_rel_diff"] <= res["tolerance"]
+    assert res["first_rel_diff"] <= res["tolerance"] / 2
+    # sharpness: vs an lr-perturbed reference trajectory the same
+    # comparison fails — the gate distinguishes real dynamics drift
+    bad = vp.check_train_parity("yolox_nano", ckpt, steps=3, batch=2,
+                                size=256, lr=0.02, tol=res["tolerance"])
+    rel = [abs(a - b) / max(abs(b), 1e-9)
+           for a, b in zip(res["loss_ours"], bad["loss_reference"])]
+    import numpy as _np
+
+    assert _np.median(rel[1:]) > res["tolerance"]
