@@ -241,10 +241,12 @@ def bench_train(name, batch, iters, remat=False, device_aug=False,
 # in README order — `--all` regenerates every row as one JSON line each
 README_ROWS = [
     ("nano", "serve", False, False), ("tiny", "serve", False, False),
-    ("s", "serve", False, False), ("s", "serve-b1", False, False),
-    ("m", "serve", False, False), ("m", "serve", False, True),
-    ("l", "serve", False, False), ("l", "serve", False, True),
-    ("x", "serve", False, False), ("x", "serve", False, True),
+    ("tiny", "serve", False, "hbm"),
+    ("s", "serve", False, False), ("s", "serve", False, "hbm"),
+    ("s", "serve-b1", False, False),
+    ("m", "serve", False, False), ("m", "serve", False, "hbm"),
+    ("l", "serve", False, False), ("l", "serve", False, "hbm"),
+    ("x", "serve", False, False), ("x", "serve", False, "hbm"),
     ("s", "fwd", False, False),
     ("nano", "train", False, False), ("tiny", "train", False, False),
     ("s", "train", False, False), ("s", "train-aug", False, False),
@@ -305,7 +307,8 @@ def main():
 
     if args.all:
         for model, mode, remat, int8 in README_ROWS:
-            out = run_one(model, mode, None, args.iters, remat, int8=int8)
+            out = run_one(model, mode, None, args.iters, remat,
+                          int8=(int8 is True), int8_hbm=(int8 == "hbm"))
             print(json.dumps(out), flush=True)
         return
 
