@@ -64,11 +64,24 @@ def train_overfit(steps: int = 800, n_images: int = 4, size: int = 128,
         gts.append(per)
     labels = jnp.asarray(labels)
 
-    step = make_train_step(module, cfg.num_classes, use_ema=False)
+    import jax
+
+    step = make_train_step(module, cfg.num_classes, use_ema=False,
+                           _jit=False)
     state = init_train_state(module.params, use_ema=False)
-    for i in range(steps):
-        lr = 0.02 if i > 50 else 0.02 * (i / 50) ** 2
-        state, m = step(state, x, labels, jnp.float32(lr))
+
+    # whole schedule in ONE jitted program (a per-step host dispatch over
+    # a tunneled TPU costs more than the step itself)
+    @jax.jit
+    def run_all(state):
+        def body(i, s):
+            lr = jnp.where(i > 50, 0.02, 0.02 * (i / 50.0) ** 2)
+            s, _ = step(s, x, labels, lr.astype(jnp.float32))
+            return s
+
+        return jax.lax.fori_loop(0, steps, body, state)
+
+    state = run_all(state)
     trained = YoloxModule.from_config(cfg)
     trained.params = full_params(state)
     return trained, x, gts, cfg

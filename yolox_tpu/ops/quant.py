@@ -30,10 +30,17 @@ weight-side work is loop-invariant (hoisted/amortized; weights are MBs
 against GBs of activations).
 
 Accuracy: machinery is tested exactly (int8 conv == f64 oracle) and
-end-to-end against the bf16 path on random weights; the mAP cost on
-pretrained checkpoints gates through `scripts/verify_pretrained.py`
-(`yolox-tpu eval --int8`) once weights are available — per-tensor
-symmetric PTQ on YOLOX models is typically well under 1 mAP.
+end-to-end against the bf16 path on random weights; MEASURED on an
+overfit-trained model (`scripts/quant_accuracy.py`, on-chip): at abs-max
+calibration both the ladder and the int8-in-HBM modes reproduce 100% of
+the f32 model's detections (IoU>0.5 + class match, symmetric set
+agreement) with score MAD ~0.022 and box MAD <0.5 px; percentile
+calibration (99.9) HURTS on small calibration sets (agreement 0.3-0.67)
+because the clipped top-0.1% of activations is exactly the detection
+signal — use percentiles only with large calibration batches. The mAP
+cost on pretrained checkpoints gates through
+`scripts/verify_pretrained.py` (`yolox-tpu eval --int8`) once weights
+are available.
 """
 
 from __future__ import annotations
