@@ -167,3 +167,47 @@ def test_model_info_and_fuse():
 
     with adjust_status(module, training=False) as m:
         assert m is module
+
+
+def test_loader_prefetch_is_bounded(coco_dir, tmp_path):
+    """The worker pool must apply backpressure: with a slow consumer, at
+    most num_workers + 2 batches may be built ahead of consumption.
+    Regression for the unbounded `pool.imap` result queue, which buffered
+    an entire epoch of decoded batches in host RAM whenever the consumer
+    stalled (found by the reference-scale eval run: 24 GB RSS at 5 000
+    images; scripts/eval_at_scale.py)."""
+    import os
+    import time
+
+    from yolox_tpu.data import CocoDataset, DataLoader, ValTransform
+    from yolox_tpu.data.samplers import SequentialBatchSampler
+
+    counter_dir = tmp_path / "pulls"
+    counter_dir.mkdir()
+
+    class CountingDataset(CocoDataset):
+        def __getitem__(self, idx):
+            # visible across forked workers via the filesystem
+            (counter_dir / f"{os.getpid()}_{time.monotonic_ns()}").touch()
+            return super().__getitem__(idx)
+
+    dataset = CountingDataset(
+        data_dir=coco_dir, json_file="instances_train2017.json",
+        name="train2017", img_size=(64, 64), preproc=ValTransform())
+    batch_size, num_workers = 2, 2
+    sampler = SequentialBatchSampler(len(dataset), batch_size=batch_size)
+    loader = DataLoader(dataset, batch_sampler=sampler,
+                        num_workers=num_workers)
+    try:
+        it = iter(loader)
+        next(it)                      # consume ONE batch, then stall
+        time.sleep(2.0)               # let the pool run ahead if it can
+        pulled = len(list(counter_dir.iterdir()))
+        # consumed 1 + at most (num_workers + 2) in flight/queued
+        bound = (1 + num_workers + 2) * batch_size
+        assert pulled <= bound, (pulled, bound)
+        # and the loader still yields the remaining batches in order
+        rest = list(it)
+        assert len(rest) + 1 == len(sampler)
+    finally:
+        loader.close()
