@@ -80,3 +80,17 @@ def test_eval_cli_with_ckpt_and_fuse(cfg_module):
         "--conf", "0.01", "-D", f"output_dir={tmp_path / 'out'}",
     ])
     assert rc == 0
+
+
+def test_eval_cli_int8_hbm(cfg_module):
+    """--int8-hbm runs the QTensor int8-in-HBM forward end-to-end through
+    the COCO evaluator (same calibration flags as --int8)."""
+    from yolox_tpu.cli import eval as eval_cli
+
+    name, tmp_path = cfg_module
+    rc = eval_cli.main([
+        "-c", name, "-b", "4", "--speed", "--int8-hbm",
+        "--calib-batches", "2", "--conf", "0.01",
+        "-D", f"output_dir={tmp_path / 'out'}",
+    ])
+    assert rc == 0

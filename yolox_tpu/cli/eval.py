@@ -41,6 +41,11 @@ def make_parser():
                              "--calib-batches eval batches, then runs "
                              "every conv+BN+act block on the MXU int8 "
                              "path; see yolox_tpu/ops/quant.py)")
+    parser.add_argument("--int8-hbm", action="store_true",
+                        help="int8-activations-in-HBM PTQ inference "
+                             "(QTensor block interface — the faster int8 "
+                             "mode on non-depthwise models; same "
+                             "calibration flags as --int8)")
     parser.add_argument("--calib-batches", type=int, default=8,
                         help="number of eval batches used for int8 "
                              "activation-scale calibration")
@@ -90,7 +95,7 @@ def run_eval(config, args, num_devices=None):
         logger.info("\tFusing model...")
         module.load_params(fuse_model_params(module.params))
 
-    if args.int8:
+    if args.int8 or args.int8_hbm:
         logger.info(f"\tCalibrating int8 activation scales on "
                     f"{args.calib_batches} batches...")
         import itertools as it
@@ -99,8 +104,9 @@ def run_eval(config, args, num_devices=None):
                    it.islice(iter(evaluator.dataloader), args.calib_batches))
         qtab = module.calibrate_int8(module.params, batches,
                                      percentile=args.calib_pct)
-        module.enable_int8(qtab)
-        logger.info(f"\tint8 enabled ({len(qtab)} calibrated conv blocks).")
+        module.enable_int8(qtab, hbm=args.int8_hbm)
+        logger.info(f"\tint8 enabled ({len(qtab)} calibrated conv blocks, "
+                    f"mode={'hbm' if args.int8_hbm else 'ladder'}).")
 
     *_, summary = config.eval(
         module, evaluator, is_distributed, half=args.fp16)
@@ -112,12 +118,15 @@ def main(argv=None) -> int:
 
     if args.num_machines > 1:
         import jax
+        from jax.experimental import multihost_utils
 
         jax.distributed.initialize(
             coordinator_address=args.dist_url,
             num_processes=args.num_machines,
             process_id=args.machine_rank,
         )
+        # establish the collective context in lockstep (see cli/train.py)
+        multihost_utils.sync_global_devices("yolox-tpu:eval-start")
 
     config = resolve_config(args.config)
     config.update(parse_model_config_opts(args.opts))

@@ -358,13 +358,14 @@ class YoloxModule:
             table = merge_amax(table, calib_fn(params, x))
         return jax.tree.map(jnp.asarray, table)
 
-    def enable_int8(self, qtab: dict) -> None:
-        """Switch the module's eval forward (`__call__`) to the int8 PTQ
-        path using the calibration table from `calibrate_int8` — every
-        conv+BN+act block runs quantize -> int8 MXU conv -> dequant
-        (yolox_tpu/ops/quant.py). Decode and postprocess stay f32, so the
-        evaluator / CLI paths (`yolox-tpu eval --int8`) measure the true
-        quantized mAP."""
+    def enable_int8(self, qtab: dict, hbm: bool = False) -> None:
+        """Switch the module's eval forward (`__call__`) to an int8 PTQ
+        path using the calibration table from `calibrate_int8`. Default:
+        the per-block ladder (quantize -> int8 MXU conv -> dequant per
+        BaseConv). `hbm=True`: the int8-activations-in-HBM mode (QTensor
+        block interface, `yolox_tpu/ops/quant.py`). Decode and
+        postprocess stay f32, so the evaluator / CLI paths
+        (`yolox-tpu eval --int8[-hbm]`) measure the true quantized mAP."""
         import dataclasses
 
         from yolox_tpu.models.blocks import EVAL_CTX
@@ -372,7 +373,10 @@ class YoloxModule:
         def _forward_int8(p, x, qt):
             if self.dtype != jnp.float32:
                 x = x.astype(self.dtype)
-            ctx = dataclasses.replace(EVAL_CTX, int8_qtab=qt)
+            if hbm:
+                ctx = dataclasses.replace(EVAL_CTX, int8_hbm_qtab=qt)
+            else:
+                ctx = dataclasses.replace(EVAL_CTX, int8_qtab=qt)
             fpn_outs = self.backbone(p["backbone"], x, ctx, "backbone")
             out = self.head(p["head"], fpn_outs, ctx, "head")
             return out.astype(jnp.float32)
