@@ -131,10 +131,18 @@ class CocoEvaluator:
             valid = np.asarray(dev_valid)
             if timed:
                 inference_time += time.time() - t0
-            data_list_elem, image_wise_data = self.convert_to_coco_format(
-                dets, valid, p_info, p_ids, return_outputs=True)
+            # only materialize the per-image output dicts when the caller
+            # asked for them: at scale they double the conversion's host
+            # RAM (5M-detection synthetic run, docs/eval_at_scale.md)
+            if return_outputs:
+                data_list_elem, image_wise_data = (
+                    self.convert_to_coco_format(
+                        dets, valid, p_info, p_ids, return_outputs=True))
+                output_data.update(image_wise_data)
+            else:
+                data_list_elem = self.convert_to_coco_format(
+                    dets, valid, p_info, p_ids)
             data_list.extend(data_list_elem)
-            output_data.update(image_wise_data)
 
         for cur_iter, (imgs, _, info_imgs, ids) in enumerate(
                 self.dataloader):
@@ -207,7 +215,8 @@ class CocoEvaluator:
 
         if jax.process_index() != 0:
             return 0, 0, None
-        logger.info("Evaluate in main process...")
+        logger.info(f"Evaluate in main process... "
+                    f"({len(data_dict)} detections)")
 
         inference_time = statistics[0]
         n_samples = statistics[2]
