@@ -50,6 +50,48 @@ def build_synthetic_coco(root, n_images: int = N_IMAGES) -> str:
     return str(root)
 
 
+def build_learnable_coco(root, n_images: int = 16, img_size: int = 96):
+    """A synthetic dataset with VISIBLE signal: dark background + one solid
+    bright rectangle per image, class determined by color. Unlike
+    `build_synthetic_coco` (noise images, only memorizable), a detector can
+    genuinely learn these, so training-outcome tests (loss convergence,
+    confident detections) are meaningful."""
+    import cv2
+
+    root = pathlib.Path(root)
+    (root / "annotations").mkdir(parents=True, exist_ok=True)
+    (root / "train2017").mkdir(parents=True, exist_ok=True)
+
+    # class -> BGR fill (far apart in hue so HSV jitter can't alias them)
+    palette = {1: (40, 40, 230), 3: (40, 230, 40), 7: (230, 160, 40)}
+    cat_ids = sorted(palette)
+    rng = np.random.default_rng(7)
+    images, annotations = [], []
+    for i in range(n_images):
+        h = w = img_size
+        img = np.full((h, w, 3), 30, np.uint8)
+        img += rng.integers(0, 12, (h, w, 3), dtype=np.uint8)  # mild texture
+        cat = cat_ids[i % len(cat_ids)]
+        bw = float(rng.uniform(0.35, 0.55) * w)
+        bh = float(rng.uniform(0.35, 0.55) * h)
+        x = float(rng.uniform(0.05 * w, w - bw - 0.05 * w))
+        y = float(rng.uniform(0.05 * h, h - bh - 0.05 * h))
+        cv2.rectangle(img, (int(x), int(y)), (int(x + bw), int(y + bh)),
+                      palette[cat], thickness=-1)
+        name = f"{i:012d}.jpg"
+        cv2.imwrite(str(root / "train2017" / name), img)
+        images.append({"id": i, "width": w, "height": h, "file_name": name})
+        annotations.append({
+            "id": i + 1, "image_id": i, "category_id": cat,
+            "bbox": [x, y, bw, bh], "area": bw * bh, "iscrowd": 0,
+        })
+    categories = [{"id": c, "name": f"cat{c}"} for c in cat_ids]
+    with open(root / "annotations" / "instances_train2017.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": categories}, f)
+    return str(root)
+
+
 def make_tiny_eval_config(data_dir: str):
     """A 3-class tiny config over the synthetic dataset. The low test_conf
     makes a random-weight model produce real detections, so the evaluator

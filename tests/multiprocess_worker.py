@@ -103,6 +103,70 @@ def main(rank: int, nprocs: int, port: int, outdir: str,
     jax.distributed.shutdown()
 
 
+def main_trainer(rank: int, nprocs: int, port: int, outdir: str,
+                 data_dir: str, mode: str = "trainer"):
+    """Full-Trainer mode: run `yolox_tpu.cli.train.main` end to end under
+    `jax.distributed` — dataloader sharding via process_index, rank-0-only
+    checkpoints/logging, and eval-in-train with the multihost gather, all
+    through the real CLI entrypoint (reference analog:
+    `/root/reference/yolox/core/launch.py:99-145`).
+
+    `mode == "trainer-preempt"` runs the long-lived preemption config
+    instead: the PARENT test SIGTERMs one rank mid-training and both
+    ranks must checkpoint-and-exit cleanly through the coordination
+    service's preemption sync protocol."""
+    import os
+
+    os.environ["YOLOX_MP_DATA_DIR"] = data_dir
+    os.environ["YOLOX_MP_OUT_DIR"] = str(pathlib.Path(outdir) / "out")
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from yolox_tpu.cli import train as train_cli
+
+    if mode == "trainer-preempt":
+        config_cls = "tests._mp_preempt_config:MpPreemptConfig"
+        run_name = "mp_preempt_e2e"
+    else:
+        config_cls = "tests._mp_train_config:MpTrainConfig"
+        run_name = "mp_train_e2e"
+    rc = train_cli.main([
+        "-c", config_cls,
+        "-b", str(2 * nprocs * 2),   # 2 imgs/device x 2 devices x nprocs
+        "--num_machines", str(nprocs),
+        "--machine_rank", str(rank),
+        "--dist-url", f"localhost:{port}",
+        "--seed", "0",
+    ])
+
+    run_dir = pathlib.Path(outdir) / "out" / run_name
+    out = {
+        "rank": rank,
+        "rc": rc,
+        "process_count": jax.process_count(),
+        "n_devices": len(jax.devices()),
+        "ckpts": sorted(p.name for p in run_dir.glob("*.pth"))
+        if run_dir.exists() else [],
+        "has_log": (run_dir / "train_log.txt").exists(),
+    }
+    path = pathlib.Path(outdir) / f"rank{rank}.json"
+    path.write_text(json.dumps(out))
+    # align ranks before shutdown: rank 0's solo tail work (COCOeval,
+    # checkpoint writes) can exceed the coordination-service shutdown
+    # barrier timeout on a contended host if rank 1 calls shutdown early
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("mp-train-e2e:done")
+    jax.distributed.shutdown()
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
-         sys.argv[5] if len(sys.argv) > 5 else None)
+    if len(sys.argv) > 6 and sys.argv[6].startswith("trainer"):
+        main_trainer(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+                     sys.argv[4], sys.argv[5], mode=sys.argv[6])
+    else:
+        main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+             sys.argv[4], sys.argv[5] if len(sys.argv) > 5 else None)

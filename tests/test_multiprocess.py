@@ -27,7 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(tmp_path, nprocs=2, extra_args=()):
+def _run_workers(tmp_path, nprocs=2, extra_args=(), timeout=480):
     """Spawn the worker script across nprocs local processes and return
     their parsed result JSONs."""
     port = _free_port()
@@ -48,7 +48,7 @@ def _run_workers(tmp_path, nprocs=2, extra_args=()):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=480)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -136,3 +136,38 @@ def test_two_process_distributed_eval(tmp_path, tmp_path_factory):
     assert outputs, "no detections produced — comparison would be vacuous"
     assert ev0["ap50_95"] == pytest.approx(float(ap50_95), abs=1e-6)
     assert ev0["ap50"] == pytest.approx(float(ap50), abs=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_full_trainer(tmp_path, tmp_path_factory):
+    """The Trainer OBJECT under `jax.distributed`, end to end through
+    `yolox_tpu.cli.train.main`: 2 real processes x 2 virtual devices, 2
+    epochs on synthetic COCO with eval-in-train every epoch. Covers the
+    remaining multi-process seam (loader sharding via process_index,
+    rank-0-only checkpoint/log writes, the in-training distributed eval
+    gather) that the bare train-step test above cannot reach. Reference
+    analog: `/root/reference/yolox/core/launch.py:99-145`."""
+    from tests._synthetic_coco import build_synthetic_coco
+
+    data_dir = build_synthetic_coco(tmp_path_factory.mktemp("coco_mp_tr"))
+    results = _run_workers(tmp_path, 2, extra_args=[data_dir, "trainer"],
+                           timeout=1500)
+
+    for r in results:
+        assert r["rc"] == 0
+        assert r["process_count"] == 2
+        assert r["n_devices"] == 4
+
+    # rank-0-only artifacts: checkpoints + the log file exist exactly once
+    r0, r1 = results
+    assert "latest_ckpt.pth" in r0["ckpts"], r0
+    # last_epoch is written ONLY by evaluate_and_save_model -> proves the
+    # in-training distributed eval ran. best_ckpt requires a STRICT AP
+    # improvement (reference trainer.py:360), which random weights on
+    # noise images never achieve (AP stays 0.0).
+    assert "last_epoch_ckpt.pth" in r0["ckpts"], r0
+    assert r0["has_log"] is True
+    # rank 1 shares the filesystem here, so its view of the run dir equals
+    # rank 0's — the real assertion is that BOTH report the same artifact
+    # set (a rank-1 writer would race/duplicate, not diverge)
+    assert r1["ckpts"] == r0["ckpts"]

@@ -93,12 +93,19 @@ def main(argv=None) -> int:
 
     if args.num_machines > 1:
         import jax
+        from jax.experimental import multihost_utils
 
         jax.distributed.initialize(
             coordinator_address=args.dist_url,
             num_processes=args.num_machines,
             process_id=args.machine_rank,
         )
+        # Establish the cross-process collective context NOW, while ranks
+        # are in lockstep: the first collective otherwise happens deep in
+        # the trainer where per-rank compile skew (minutes on contended
+        # hosts) can exceed the transport's rendezvous timeout (observed:
+        # gloo's 30s on CPU meshes). Also fails fast on bad rendezvous.
+        multihost_utils.sync_global_devices("yolox-tpu:train-start")
 
     config = resolve_config(args.config)
     config.update(parse_model_config_opts(args.opts))

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import datetime
 import os
+import signal
+import threading
 import time
 
 import numpy as np
@@ -32,6 +34,12 @@ from yolox_tpu.utils.checkpoint import (
 from yolox_tpu.utils.logger import logger, setup_logger
 from yolox_tpu.utils.metric import MeterBuffer, device_mem_usage, mem_usage
 from yolox_tpu.utils.model_utils import get_model_info
+
+
+class PreemptionExit(Exception):
+    """Raised at an iteration boundary after a preemption notice; the
+    resume checkpoint has already been written. `Trainer.train` turns it
+    into a clean (rc 0) exit so the scheduler sees an orderly shutdown."""
 
 
 class Trainer:
@@ -72,6 +80,9 @@ class Trainer:
         self.before_train()
         try:
             self.train_in_epoch()
+        except PreemptionExit:
+            logger.info("preemption: resume checkpoint written, exiting "
+                        "cleanly (restart with --resume)")
         except Exception:
             logger.exception("Exception in training")
             raise
@@ -89,6 +100,57 @@ class Trainer:
             self.before_iter()
             self.train_one_iter()
             self.after_iter()
+            self._maybe_handle_preemption()
+
+    # ---------------- preemption (SURVEY §5 failure recovery) ----------
+    #
+    # TPU pods are preemptible: the scheduler sends SIGTERM, then kills.
+    # The reference trainer has no preemption story (it dies wherever it
+    # stands); here the notice is turned into a resume checkpoint + clean
+    # exit at the next iteration boundary. Multi-host runs coordinate the
+    # exit step through the jax.distributed coordination service (which
+    # owns the SIGTERM watcher once `jax.distributed.initialize` ran), so
+    # every host checkpoints at the SAME step and no collective is left
+    # half-entered. Single-host runs use a plain signal handler.
+
+    def _install_preemption_handler(self):
+        import jax
+
+        self._sigterm = threading.Event()
+        self._prev_sigterm = None
+        if (jax.process_count() == 1
+                and threading.current_thread() is threading.main_thread()):
+            self._prev_sigterm = signal.signal(
+                signal.SIGTERM, lambda *_: self._sigterm.set())
+
+    def _restore_preemption_handler(self):
+        if getattr(self, "_prev_sigterm", None) is not None:
+            signal.signal(signal.SIGTERM, self._prev_sigterm)
+            self._prev_sigterm = None
+
+    def _maybe_handle_preemption(self):
+        import jax
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            # cross-host protocol: on any host's SIGTERM the coordination
+            # service computes a common safe step; True means THIS step is
+            # it and every host is saving now
+            preempted = multihost_utils.reached_preemption_sync_point(
+                self.progress_in_iter)
+        else:
+            preempted = self._sigterm.is_set()
+        if not preempted:
+            return
+        logger.info(
+            f"preemption notice at epoch {self.epoch + 1} iter "
+            f"{self.iter + 1}: checkpointing with the interrupted epoch "
+            f"marked for redo")
+        # the interrupted epoch is REDONE on resume (start_epoch stays at
+        # the current epoch): some data is seen twice, none is skipped
+        self.save_ckpt(ckpt_name="latest", start_epoch=self.epoch)
+        raise PreemptionExit
 
     # ---------------- profiling ----------------
     #
@@ -131,20 +193,22 @@ class Trainer:
             # augment + multiscale resize + step as one compiled program
             import jax
 
-            hw = jnp.asarray(np.stack([np.asarray(i) for i in infos]),
-                             jnp.float32)
+            hw = np.stack([np.asarray(i) for i in infos]).astype(np.float32)
             if self._batch_sharding is not None:
-                hw = jax.device_put(hw, self._batch_sharding)
+                from yolox_tpu.parallel.mesh import put_process_local
+
+                hw = put_process_local(hw, self._batch_sharding)
             key = jax.random.fold_in(self._aug_key, self.progress_in_iter)
-            self.train_state, outputs = self._step_aug(
+            self.train_state, outputs = self._call_step(
+                self._step_aug,
                 self.train_state, inps, hw, targets.astype(jnp.float32),
                 key, jnp.float32(lr), tuple(self.input_size),
                 tuple(self._current_size))
         else:
             inps, targets = self._multiscale_resize(inps, targets)
             step = self._step_l1 if self.use_l1 else self._step
-            self.train_state, outputs = step(
-                self.train_state, inps, targets, jnp.float32(lr))
+            self.train_state, outputs = self._call_step(
+                step, self.train_state, inps, targets, jnp.float32(lr))
         self._maybe_warmup_multiscale(inps, targets)
 
         iter_end_time = time.time()
@@ -155,6 +219,31 @@ class Trainer:
             **outputs,
         )
 
+    def _call_step(self, step_fn, *args):
+        """Invoke a jitted step; under multi-process, rate-match the ranks
+        through the FIRST compile. Concurrent per-rank compiles of a big
+        SPMD program can skew rank arrival at the program's first
+        collective beyond the CPU transport's fixed ~30 s rendezvous
+        window (observed with gloo on contended hosts). AOT-compile first
+        (populating the persistent XLA cache `cli/train.py` configures),
+        barrier on the coordination service (no such window), THEN run —
+        the run's recompile is a cache deserialization, so ranks enter the
+        collective within seconds of each other. TPU pods compile on
+        many-core hosts where the skew is small, but the barrier is cheap
+        and kept unconditionally."""
+        if getattr(self, "_first_step_pending", False):
+            import jax
+
+            self._first_step_pending = False
+            if jax.process_count() > 1:
+                logger.info("multi-process: AOT-compiling the first step "
+                            "program, then syncing ranks")
+                step_fn.lower(*args).compile()
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("yolox-tpu:first-step")
+        return step_fn(*args)
+
     def _apply_device_augment(self, tiles, labels, infos):
         """Run the on-device augmentation pipeline on a raw-tile batch
         (config.device_augment; yolox_tpu/data/device_augment.py)."""
@@ -163,10 +252,11 @@ class Trainer:
 
         from yolox_tpu.data.device_augment import device_augment_batch
 
-        hw = jnp.asarray(np.stack([np.asarray(i) for i in infos]),
-                         jnp.float32)
+        hw = np.stack([np.asarray(i) for i in infos]).astype(np.float32)
         if self._batch_sharding is not None:
-            hw = jax.device_put(hw, self._batch_sharding)
+            from yolox_tpu.parallel.mesh import put_process_local
+
+            hw = put_process_local(hw, self._batch_sharding)
         key = jax.random.fold_in(self._aug_key, self.progress_in_iter)
         cfg = self.exp
         return device_augment_batch(
@@ -224,15 +314,37 @@ class Trainer:
         self.lr_scheduler = self.exp.get_lr_scheduler(
             self.exp.basic_lr_per_img * self.args.batch_size, self.max_iter)
 
-        per_host_batch = self.args.batch_size // max(jax.process_count(), 1)
+        nproc = jax.process_count()
+        per_host_batch = self.args.batch_size // max(nproc, 1)
         n_local = jax.local_device_count()
-        if getattr(self.args, "devices", None):
-            n_local = min(n_local, self.args.devices)
-        # the mesh size must divide the per-host batch
-        while n_local > 1 and per_host_batch % n_local != 0:
-            n_local -= 1
-        self.mesh = data_parallel_mesh(n_local) if n_local > 1 else None
-        logger.info(f"data-parallel over {n_local} local device(s)")
+        if nproc > 1:
+            # multi-process (one process per host): the mesh MUST span all
+            # global devices — a subset mesh leaves some processes holding
+            # arrays on non-addressable devices. Per-host device counts
+            # are uniform on TPU pods, so no trimming; the per-host batch
+            # has to divide over the local devices.
+            if getattr(self.args, "devices", None):
+                raise ValueError(
+                    "--devices cannot subset the mesh under multi-process "
+                    "training; every process's local devices participate")
+            if per_host_batch % n_local != 0:
+                raise ValueError(
+                    f"per-host batch {per_host_batch} "
+                    f"(= batch_size {self.args.batch_size} / {nproc} "
+                    f"processes) must be divisible by the "
+                    f"{n_local} local devices")
+            self.mesh = data_parallel_mesh()  # ALL global devices
+            logger.info(
+                f"data-parallel over {len(jax.devices())} global device(s) "
+                f"across {nproc} processes")
+        else:
+            if getattr(self.args, "devices", None):
+                n_local = min(n_local, self.args.devices)
+            # the mesh size must divide the per-host batch
+            while n_local > 1 and per_host_batch % n_local != 0:
+                n_local -= 1
+            self.mesh = data_parallel_mesh(n_local) if n_local > 1 else None
+            logger.info(f"data-parallel over {n_local} local device(s)")
         compute_dtype = jnp.bfloat16 if self.use_bf16 else jnp.float32
         common = dict(
             momentum=self.exp.momentum,
@@ -322,11 +434,14 @@ class Trainer:
             self.wandb_logger.setup(args=self.args, exp=self.exp)
 
         self.epoch = self.start_epoch  # valid even before the epoch loop
+        self._first_step_pending = jax.process_count() > 1
+        self._install_preemption_handler()
         logger.info("Training start...")
 
     def after_train(self):
         from yolox_tpu.utils.logger import restore_sys_output
 
+        self._restore_preemption_handler()
         self._stop_multiscale_warmup()
         restore_sys_output()
         logger.info("Training of experiment is done and the best AP is "
@@ -644,11 +759,21 @@ class Trainer:
         return params, None
 
     def _eval_params(self):
+        import jax
+
         from yolox_tpu.core.train_step import full_params
 
-        if self.use_model_ema:
-            return self.train_state["ema"]
-        return full_params(self.train_state)
+        params = (self.train_state["ema"] if self.use_model_ema
+                  else full_params(self.train_state))
+        if jax.process_count() > 1:
+            # evaluation is per-process local inference over each host's
+            # dataset shard + one detection gather — pin the (replicated)
+            # global-mesh params to a local device so the eval program is
+            # a plain local jit, not an SPMD program over the train mesh
+            dev = jax.local_devices()[0]
+            params = jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x), dev), params)
+        return params
 
     def evaluate_and_save_model(self):
         eval_params = self._eval_params()
@@ -696,15 +821,21 @@ class Trainer:
         if self.save_history_ckpt:
             self.save_ckpt(f"epoch_{self.epoch + 1}", ap=ap50_95)
 
-    def save_ckpt(self, ckpt_name, update_best_ckpt=False, ap=None):
+    def save_ckpt(self, ckpt_name, update_best_ckpt=False, ap=None,
+                  start_epoch=None):
+        """`start_epoch` overrides the epoch a resume restarts from; the
+        default (current epoch + 1) means "this epoch completed". The
+        preemption path passes the CURRENT epoch to redo it."""
         if self.rank != 0:
             return
         import jax
 
+        if start_epoch is None:
+            start_epoch = self.epoch + 1
         if getattr(self.exp, "ckpt_format", "pth") == "orbax":
             from yolox_tpu.utils.orbax_io import save_orbax
 
-            step = self.epoch + 1
+            step = start_epoch
             orbax_dir = os.path.join(self.file_name, "orbax")
             if getattr(self, "_orbax_saved_step", None) != step:
                 # one orbax step per epoch ("latest"/"last_epoch"/history
@@ -732,7 +863,7 @@ class Trainer:
         logger.info(f"Save weights to {self.file_name}")
         save_params = jax.tree.map(np.asarray, self._eval_params())
         ckpt_state = {
-            "start_epoch": self.epoch + 1,
+            "start_epoch": start_epoch,
             "model": save_params,
             "momentum_buf": jax.tree.map(
                 np.asarray, self.train_state["momentum"]),

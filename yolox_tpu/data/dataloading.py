@@ -157,7 +157,11 @@ class DevicePrefetcher:
         import jax
 
         if self.sharding is not None:
-            return jax.device_put(arr, self.sharding)
+            from yolox_tpu.parallel.mesh import put_process_local
+
+            # under multi-process the loader batch is this host's shard
+            # of the global batch (sampler rank striding)
+            return put_process_local(arr, self.sharding)
         return jax.device_put(arr)
 
     def _preload(self):

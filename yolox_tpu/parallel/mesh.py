@@ -88,6 +88,21 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def put_process_local(arr, sharding: NamedSharding):
+    """Place this process's slice of a batch onto a batch sharding.
+
+    Single process: a plain async `jax.device_put`. Multi-process (the
+    mesh spans non-addressable devices): `arr` is this host's shard of
+    the global batch — the loader yields per-host batches
+    (`config.get_data_loader` divides by `process_count()`), so the
+    global array is assembled from the per-process slices. Reference
+    analog: DDP's implicit per-rank batch
+    (`/root/reference/yolox/core/launch.py:99-145`)."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(arr))
+
+
 def all_gather_objects(obj):
     """Gather a picklable object from every process; returns a list ordered
     by process index. Host-level analog of the reference's gloo-based
