@@ -80,7 +80,9 @@ def test_two_process_preemption(tmp_path, tmp_path_factory):
     worker = REPO / "tests" / "multiprocess_worker.py"
     env = dict(os.environ)
     env["PYTHONUNBUFFERED"] = "1"
-    env.pop("JAX_PLATFORMS", None)  # worker pins cpu in-process
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, "-u", str(worker), str(r), "2", str(port),
