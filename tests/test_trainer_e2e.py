@@ -243,6 +243,39 @@ def test_training_with_device_augment(tiny_cfg):
     assert trainer.use_l1 is True
 
 
+@pytest.mark.skipif(not os.environ.get("YOLOX_RUN_AB"),
+                    reason="outcome-level augment A/B trains 2x200 steps "
+                           "(~20 min/arm on a 1-core CPU host; minutes on "
+                           "TPU) — set YOLOX_RUN_AB=1. Measured results "
+                           "recorded in docs/training.md.")
+def test_device_augment_training_outcome_ab():
+    """Training-OUTCOME equivalence of device vs host augmentation: train
+    the same learnable task through the full Trainer with each pipeline;
+    both must converge (loss down from ~12) to confident, correctly
+    classified, correctly centered detections on clean images, with
+    run-average losses in a mutual band. Complements the
+    distribution-level equivalence test (test_augment_equivalence.py).
+    Semantics owner: reference mosaicdetection.py:76-158. Calibrated
+    datum (2026-08-19, 50 epochs): host loss 9.00 / dev 9.05, 2 of 6
+    images confidently detected by each arm."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "augment_ab",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "augment_ab.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    host, dev = mod.main(["--which", "both"])
+
+    for arm in (host, dev):
+        assert arm["run_avg_loss"] < 10.5, arm   # converged (init ~12.5)
+        assert arm["confident_correct"] >= 1, arm
+    rel = (abs(host["run_avg_loss"] - dev["run_avg_loss"])
+           / host["run_avg_loss"])
+    assert rel < 0.2, (host["run_avg_loss"], dev["run_avg_loss"])
+
+
 def test_multiscale_resize_scales_images_and_targets(tiny_cfg):
     """On-device multiscale: batch resized to the drawn bucket size and
     (cls, cx, cy, w, h) targets scaled with it (reference
