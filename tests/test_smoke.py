@@ -91,3 +91,22 @@ def test_cocoeval_perfect_detections():
     from tests.test_cocoeval import test_perfect_detections
 
     test_perfect_detections()
+
+
+def test_nonfinite_loss_watchdog():
+    """Failure detection: a NaN/inf loss aborts training with a loud,
+    actionable error instead of silently poisoning every later
+    checkpoint (the reference trainer has no guard). Unit-level: the
+    check reads host-side meter scalars only."""
+    from yolox_tpu.core.trainer import Trainer
+    from yolox_tpu.utils.metric import MeterBuffer
+
+    t = Trainer.__new__(Trainer)   # no __init__: the check needs only these
+    t.meter = MeterBuffer(window_size=20)
+    t.epoch, t.iter = 0, 4
+    t.meter.update(total_loss=3.2, iou_loss=1.0, lr=0.01)
+    t._check_finite_loss()         # finite: no-op
+
+    t.meter.update(total_loss=float("nan"), iou_loss=float("inf"), lr=0.01)
+    with pytest.raises(FloatingPointError, match="non-finite training loss"):
+        t._check_finite_loss()

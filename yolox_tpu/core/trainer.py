@@ -218,6 +218,28 @@ class Trainer:
             lr=lr,
             **outputs,
         )
+        self._check_finite_loss()
+
+    def _check_finite_loss(self):
+        """Failure detection (SURVEY §5): fail FAST on a non-finite loss.
+        The loss scalars are already on host (the meter fetches them every
+        iteration), so this is a free float compare. The reference has no
+        guard — a NaN silently poisons the weights and every later
+        checkpoint; here training aborts with the loss breakdown while
+        `latest_ckpt.pth` still holds the last finite-loss epoch."""
+        total = self.meter["total_loss"].latest
+        if total is None or np.isfinite(total):
+            return
+        breakdown = ", ".join(
+            f"{k}: {v.latest}" for k, v in
+            self.meter.get_filtered_meter("loss").items())
+        raise FloatingPointError(
+            f"non-finite training loss at epoch {self.epoch + 1} iter "
+            f"{self.iter + 1} ({breakdown}, lr "
+            f"{self.meter['lr'].latest:.3e}). Training aborted before the "
+            f"state could be checkpointed; resume from the last epoch "
+            f"checkpoint with --resume. Typical causes: learning rate too "
+            f"high for the batch size, corrupt/degenerate labels.")
 
     def _call_step(self, step_fn, *args):
         """Invoke a jitted step; under multi-process, rate-match the ranks
