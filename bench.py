@@ -7,7 +7,7 @@ JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
 Matrix coverage (one JSON line per invocation):
-  python bench.py --model s|m|l|x|nano|tiny --mode serve      [--batch N]
+  python bench.py --model s|m|l|x|nano|tiny|yolov3 --mode serve      [--batch N]
   python bench.py --model s --mode serve [--int8]             # int8 PTQ
   python bench.py --model s --mode serve-b1                   # ms/image
   python bench.py --model s --mode fwd                        # fwd only
@@ -40,19 +40,26 @@ import time
 import numpy as np
 
 # reference V100 anchors, images/sec = 1000 / published ms
-# (docs/model_zoo.md:7-10, batch-1 fp16 incl. NMS)
-V100_MS = {"s": 9.8, "m": 12.3, "l": 14.5, "x": 17.3}
+# (docs/model_zoo.md:7-11, batch-1 fp16 incl. NMS)
+V100_MS = {"s": 9.8, "m": 12.3, "l": 14.5, "x": 17.3, "yolov3": 11.1}
 
 SERVE_BATCH = {"nano": 256, "tiny": 256, "s": 256, "m": 128, "l": 64,
-               "x": 32}
-TRAIN_BATCH = {"nano": 64, "tiny": 64, "s": 64, "m": 48, "l": 32, "x": 16}
+               "x": 32, "yolov3": 64}
+TRAIN_BATCH = {"nano": 64, "tiny": 64, "s": 64, "m": 48, "l": 32, "x": 16,
+               "yolov3": 24}
 
 
 def _model(name, dtype):
     from yolox_tpu import YoloxConfig, YoloxModule
 
-    cfg = YoloxConfig.get_named_config(f"yolox_{name}")
+    registry_name = name if name == "yolov3" else f"yolox_{name}"
+    cfg = YoloxConfig.get_named_config(registry_name)
     return YoloxModule.from_config(cfg, dtype=dtype), cfg
+
+
+def _disp(name):
+    """Metric display name ("yolox_s", but "yolov3" stays bare)."""
+    return name if name == "yolov3" else f"yolox_{name}"
 
 
 def _timed_loop(step_fn, params, x, iters, checksum_of):
@@ -116,7 +123,7 @@ def bench_serve(name, batch, iters, batch1=False, int8=False,
     if batch1:
         ms = 1000 * dt / iters
         return {
-            "metric": f"yolox_{name} {size}px batch-1 serving latency "
+            "metric": f"{_disp(name)} {size}px batch-1 serving latency "
                       f"incl. NMS ({prec})",
             "value": round(ms, 3),
             "unit": "ms/image",
@@ -124,7 +131,7 @@ def bench_serve(name, batch, iters, batch1=False, int8=False,
         }
     ips = batch * iters / dt
     return {
-        "metric": f"yolox_{name} {size}px batched serving incl. NMS "
+        "metric": f"{_disp(name)} {size}px batched serving incl. NMS "
                   f"({prec}, batch {batch})",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
@@ -150,7 +157,7 @@ def bench_fwd(name, batch, iters):
     np.asarray(run(module.params, x))
     dt = _best_of(lambda: np.asarray(run(module.params, x)))
     return {
-        "metric": f"yolox_{name} {size}px forward only "
+        "metric": f"{_disp(name)} {size}px forward only "
                   f"(bf16, batch {batch})",
         "value": round(batch * iters / dt, 2),
         "unit": "images/sec/chip",
@@ -246,7 +253,7 @@ def bench_train(name, batch, iters, remat=False, device_aug=False,
     tag += " (pipelined)" if pipelined else ""
     tag += ", remat" if remat else ""
     return {
-        "metric": f"yolox_{name} {size}px training step{tag} "
+        "metric": f"{_disp(name)} {size}px training step{tag} "
                   f"(bf16, batch {batch})",
         "value": round(batch * iters / dt, 2),
         "unit": "images/sec/chip",
@@ -269,6 +276,8 @@ README_ROWS = [
     ("s", "train", False, False), ("s", "train-aug", False, False),
     ("m", "train", False, False), ("l", "train", False, False),
     ("x", "train", True, False),
+    ("yolov3", "serve", False, False),
+    ("yolov3", "serve-b1", False, False),
 ]
 
 
@@ -308,7 +317,7 @@ def run_one(model, mode, batch, iters, remat, int8=False, int8_hbm=False,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="s",
-                    choices=["nano", "tiny", "s", "m", "l", "x"])
+                    choices=["nano", "tiny", "s", "m", "l", "x", "yolov3"])
     ap.add_argument("--mode", default="serve",
                     choices=["serve", "serve-b1", "fwd", "train",
                              "train-aug"])
