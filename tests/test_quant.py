@@ -270,12 +270,20 @@ def small_s_module():
     return YoloxModule.from_config(cfg), cfg
 
 
-@pytest.mark.parametrize("fixture", ["small_module", "small_s_module"])
+@pytest.fixture
+def small_v3_module():
+    cfg = YoloxConfig.get_named_config("yolov3")  # YoloFpn/Darknet, lrelu
+    return YoloxModule.from_config(cfg), cfg
+
+
+@pytest.mark.parametrize("fixture", ["small_module", "small_s_module",
+                                     "small_v3_module"])
 def test_int8_hbm_serve_tracks_float(fixture, request):
     """The int8-in-HBM serve path (activations cross blocks as int8 codes)
     tracks the float forward far tighter than the ladder mode (per-channel
     scales): rms_rel < 2% on random weights, and the serve contract holds.
-    Covers both the depthwise (nano) and plain-conv (s) block zoo."""
+    Covers the depthwise (nano), plain-conv (s), and legacy
+    YoloFpn/Darknet-53 lrelu (yolov3) block zoos."""
     m, cfg = request.getfixturevalue(fixture)
     rng = np.random.default_rng(10)
     x = jnp.asarray(rng.uniform(0, 255, (2, 128, 128, 3)), jnp.float32)

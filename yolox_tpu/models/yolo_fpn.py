@@ -53,15 +53,24 @@ class YoloFpn(Module):
         out_features = self.backbone(p["backbone"], x, ctx, f"{path}.backbone")
         x2, x1, x0 = [out_features[f] for f in self.in_features]
 
+        if ctx.int8_hbm_qtab is not None:
+            # int8-in-HBM: upsample/concat act on QTensor codes+scales
+            # (same dispatch as pafpn.py)
+            from yolox_tpu.ops.quant import q_concat, q_upsample_nearest_2x
+            upsample, cat = q_upsample_nearest_2x, q_concat
+        else:
+            upsample = upsample_nearest_2x
+            cat = lambda xs: jnp.concatenate(xs, axis=-1)  # noqa: E731
+
         x1_in = self.out1_cbl(p["out1_cbl"], x0, ctx, f"{path}.out1_cbl")
-        x1_in = upsample_nearest_2x(x1_in)
-        x1_in = jnp.concatenate([x1_in, x1], axis=-1)
+        x1_in = upsample(x1_in)
+        x1_in = cat([x1_in, x1])
         out_dark4 = self.out1(p["out1"], x1_in, ctx, f"{path}.out1")
 
         x2_in = self.out2_cbl(p["out2_cbl"], out_dark4, ctx,
                               f"{path}.out2_cbl")
-        x2_in = upsample_nearest_2x(x2_in)
-        x2_in = jnp.concatenate([x2_in, x2], axis=-1)
+        x2_in = upsample(x2_in)
+        x2_in = cat([x2_in, x2])
         out_dark3 = self.out2(p["out2"], x2_in, ctx, f"{path}.out2")
 
         return (out_dark3, out_dark4, x0)
