@@ -277,6 +277,7 @@ README_ROWS = [
     ("m", "train", False, False), ("l", "train", False, False),
     ("x", "train", True, False),
     ("yolov3", "serve", False, False),
+    ("yolov3", "serve", False, "hbm"),
     ("yolov3", "serve-b1", False, False),
 ]
 
