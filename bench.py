@@ -279,6 +279,7 @@ README_ROWS = [
     ("yolov3", "serve", False, False),
     ("yolov3", "serve", False, "hbm"),
     ("yolov3", "serve-b1", False, False),
+    ("yolov3", "train", False, False),
 ]
 
 
