@@ -36,15 +36,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def train_overfit(steps: int = 800, n_images: int = 4, size: int = 128,
-                  seed: int = 0):
-    """Overfit yolox-nano on `n_images` noise images with fixed gt boxes;
+                  seed: int = 0, model: str = "yolox_nano"):
+    """Overfit `model` on `n_images` noise images with fixed gt boxes;
     returns (module_with_trained_params, images_f32, gt_list)."""
     import jax.numpy as jnp
 
     from yolox_tpu import YoloxConfig, YoloxModule
     from yolox_tpu.core import full_params, init_train_state, make_train_step
 
-    cfg = YoloxConfig.get_named_config("yolox_nano")
+    cfg = YoloxConfig.get_named_config(model)
     module = YoloxModule.from_config(cfg, rng_seed=seed)
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.uniform(0, 255, (n_images, size, size, 3)),
@@ -145,10 +145,12 @@ def agreement(base, other):
     }
 
 
-def run(steps=800, n_images=4, conf=0.2, seed=0):
-    module, x, gts, cfg = train_overfit(steps, n_images, seed=seed)
+def run(steps=800, n_images=4, conf=0.2, seed=0, model="yolox_nano"):
+    module, x, gts, cfg = train_overfit(steps, n_images, seed=seed,
+                                        model=model)
     base = _detections(module, cfg, x, conf)
-    results = {"n_float_dets": sum(len(r) for r in base)}
+    results = {"model": model,
+               "n_float_dets": sum(len(r) for r in base)}
     variants = []
     for pct in (None, 99.9):
         qtab = module.calibrate_int8(module.params, x, percentile=pct)
@@ -166,8 +168,10 @@ def main():
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--images", type=int, default=4)
     ap.add_argument("--conf", type=float, default=0.2)
+    ap.add_argument("--model", default="yolox_nano",
+                    help="named config (e.g. yolox_nano, yolox_s, yolov3)")
     args = ap.parse_args()
-    res = run(args.steps, args.images, args.conf)
+    res = run(args.steps, args.images, args.conf, model=args.model)
     print("QUANT_ACCURACY " + json.dumps(res, indent=1))
 
 
