@@ -201,6 +201,32 @@ def test_int8_composes_with_mesh_serving(small_module):
                                rtol=1e-6, atol=1e-5)
 
 
+def test_int8_hbm_composes_with_mesh_serving(small_module):
+    """make_serving_fn(int8_hbm_qtab=...) over a (data, space) mesh equals
+    the single-device int8-hbm serve: QTensor codes shard like any NHWC
+    activation (halo exchanges on int8 codes), per-channel scales
+    replicate — GSPMD must not change the numbers."""
+    from yolox_tpu.parallel.mesh import serving_mesh
+
+    m, cfg = small_module
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 128, 128, 3)), jnp.float32)
+    qtab = m.calibrate_int8(m.params, x)
+
+    single = m.make_serving_fn(conf_thre=1e-5, max_det=32,
+                               int8_hbm_qtab=qtab)
+    d1, v1 = single(m.params, x)
+    mesh = serving_mesh(2, 2)
+    sharded = m.make_serving_fn(mesh=mesh, conf_thre=1e-5, max_det=32,
+                                int8_hbm_qtab=qtab)
+    dn, vn = sharded(m.params, x)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(vn))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(dn),
+                               rtol=1e-6, atol=1e-5)
+
+
 def test_int8_rejected_in_train_mode(small_module):
     m, _ = small_module
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)

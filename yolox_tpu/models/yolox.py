@@ -406,7 +406,8 @@ class YoloxModule:
 
     def make_serving_fn(self, mesh=None, conf_thre: float = 0.5,
                         nms_thre: float = 0.65, class_agnostic: bool = False,
-                        max_det: int = 256, int8_qtab: Optional[dict] = None):
+                        max_det: int = 256, int8_qtab: Optional[dict] = None,
+                        int8_hbm_qtab: Optional[dict] = None):
         """Compiled serving function fn(params, x) -> (dets, valid).
 
         With a 1-D `jax.sharding.Mesh` ('data'), the batch is sharded over
@@ -416,15 +417,19 @@ class YoloxModule:
         additionally sharded over 'space': each conv runs on its row slab
         with XLA-inserted halo exchanges (GSPMD spatial partitioning),
         scaling single-image latency across chips. Detections come back
-        sharded over 'data' only. `int8_qtab` (from `calibrate_int8`)
-        serves the quantized graph; it composes with both mesh kinds.
+        sharded over 'data' only. `int8_qtab` (ladder) / `int8_hbm_qtab`
+        (int8-activations-in-HBM, the recommended mode — see
+        docs/serving_performance.md) serve the quantized graph; both
+        compose with both mesh kinds (the QTensor codes shard like any
+        NHWC activation; per-channel scales replicate).
         """
         import jax
 
         def fn(p, x):
             return self.serve(p, x, conf_thre=conf_thre, nms_thre=nms_thre,
                               class_agnostic=class_agnostic, max_det=max_det,
-                              int8_qtab=int8_qtab)
+                              int8_qtab=int8_qtab,
+                              int8_hbm_qtab=int8_hbm_qtab)
 
         if mesh is None:
             return jax.jit(fn)
