@@ -269,7 +269,9 @@ README_ROWS = [
     ("s", "serve", False, False), ("s", "serve", False, "hbm"),
     ("s", "serve-b1", False, False),
     ("m", "serve", False, False), ("m", "serve", False, "hbm"),
+    ("m", "serve-b1", False, False),
     ("l", "serve", False, False), ("l", "serve", False, "hbm"),
+    ("l", "serve-b1", False, False),
     ("x", "serve", False, False), ("x", "serve", False, "hbm"),
     ("s", "fwd", False, False),
     ("nano", "train", False, False), ("tiny", "train", False, False),
