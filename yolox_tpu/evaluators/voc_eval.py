@@ -145,6 +145,10 @@ def voc_eval(detpath, annopath, imagesetfile, classname, cachedir,
 
     tp = np.cumsum(tp)
     fp = np.cumsum(fp)
-    rec = tp / float(npos)
+    # npos == 0 (a class with no non-difficult gt) yields nan/inf recall —
+    # the classic voc_eval's exact behavior (`voc_eval.py:180` upstream);
+    # keep the values, silence the numpy warning noise
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rec = tp / float(npos)
     prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
     return rec, prec, voc_ap(rec, prec, use_07_metric)
