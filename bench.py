@@ -43,7 +43,11 @@ import numpy as np
 # (docs/model_zoo.md:7-11, batch-1 fp16 incl. NMS)
 V100_MS = {"s": 9.8, "m": 12.3, "l": 14.5, "x": 17.3, "yolov3": 11.1}
 
-SERVE_BATCH = {"nano": 256, "tiny": 256, "s": 256, "m": 128, "l": 64,
+# per-model serve batches from the round-4 on-chip sweep: s 256 (384/512
+# lose 4-5%), m 128 (192 gains +2.3% bf16 but costs -21% int8-hbm; 256
+# falls off a memory cliff), l 96 (+9% bf16 AND +11% int8-hbm over 64),
+# x 32 (48 is flat), details in docs/serving_performance.md
+SERVE_BATCH = {"nano": 256, "tiny": 256, "s": 256, "m": 128, "l": 96,
                "x": 32, "yolov3": 64}
 TRAIN_BATCH = {"nano": 64, "tiny": 64, "s": 64, "m": 48, "l": 32, "x": 16,
                "yolov3": 24}
@@ -273,6 +277,7 @@ README_ROWS = [
     ("l", "serve", False, False), ("l", "serve", False, "hbm"),
     ("l", "serve-b1", False, False),
     ("x", "serve", False, False), ("x", "serve", False, "hbm"),
+    ("x", "serve-b1", False, False),
     ("s", "fwd", False, False),
     ("nano", "train", False, False), ("tiny", "train", False, False),
     ("s", "train", False, False), ("s", "train-aug", False, False),
