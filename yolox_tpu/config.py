@@ -116,6 +116,15 @@ class YoloxConfig:
     # bandwidth-bound light models (nano/tiny) flip this on in their
     # named configs — see docs/serving_performance.md
     serve_lane_fold: bool = False
+    # serve the CspDarknet stem through the transpose-free space-to-depth
+    # fold (yolox_tpu/ops/stem_s2d.py): same math, MXU-shaped. XLA's
+    # 3-channel Focus conv is VPU-lowered at ~0.6% MFU — 65% of batch-1
+    # device time; the fold measured 3.6x on the stem+dark2conv1 region
+    # (v5e, 640px b1). Applies to the float serving path only (the int8
+    # modes and lane folding keep their own stem handling); silently
+    # falls back when illegal (depthwise stem, spatial dims not
+    # divisible by 4). docs/serving_performance.md "Batch-1 latency".
+    serve_stem_s2d: bool = True
     # fused custom-vjp backward for the Conv->BN->act blocks
     # (yolox_tpu/ops/pallas_conv_bwd.py). Measured on a v5e (yolox-s b64):
     # XLA autodiff of the unfused composite is FASTER (136 ms vs 155 ms

@@ -35,6 +35,7 @@ class CspDarknet(Module):
                  lane_fold_target=256):
         assert out_features, "please provide output features of Darknet"
         self.out_features = out_features
+        self.depthwise = depthwise
         Conv = DWConv if depthwise else BaseConv
 
         base_channels = int(wid_mul * 64)
@@ -89,6 +90,18 @@ class CspDarknet(Module):
             "dark5": self.dark5.init(rng),
         }
 
+    def _use_stem_s2d(self, ctx, x, folded) -> bool:
+        """Legality of the space-to-depth stem fold for this call: serve
+        (eval) context only, plain BaseConv stem chain, no quantized or
+        calibrating execution, spatial dims foldable by 4, and nobody
+        downstream asking for the unblocked stem feature map."""
+        return (ctx.stem_s2d and not ctx.train and not folded
+                and not self.depthwise
+                and ctx.int8_qtab is None and ctx.int8_hbm_qtab is None
+                and ctx.calib_sink is None
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+                and "stem" not in self.out_features)
+
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
         from yolox_tpu.ops.lane_fold import unfold
 
@@ -102,10 +115,32 @@ class CspDarknet(Module):
         folds = self.folds if folded else (1, 1, 1, 1, 1)
 
         outputs = {}
-        x = self.stem(p["stem"], x, ctx, f"{path}.stem")
-        outputs["stem"] = unfold(x, folds[0])
-        x = self.dark2(p["dark2"], x, ctx, f"{path}.dark2")
-        outputs["dark2"] = unfold(x, folds[1])
+        if self._use_stem_s2d(ctx, x, folded):
+            # Transpose-free space-to-depth stem (ops/stem_s2d.py): the
+            # stem + dark2's first conv run as two MXU-shaped convs over
+            # blocked channels; the output is layout-identical to the
+            # plain path, so dark2's CSP layer onward is untouched.
+            from yolox_tpu.models.blocks import batch_norm
+            from yolox_tpu.ops import stem_s2d as s2d
+
+            a = s2d.stem_conv_blocked(
+                p["stem"]["conv"]["conv"]["weight"], x)
+            a = batch_norm(s2d.tile4(p["stem"]["conv"]["bn"]), a, ctx,
+                           f"{path}.stem.conv.bn")
+            a = self.stem.conv.act(a)
+            z = s2d.next_conv_blocked(
+                p["dark2"]["0"]["conv"]["weight"], a)
+            z = batch_norm(p["dark2"]["0"]["bn"], z, ctx,
+                           f"{path}.dark2.0.bn")
+            x = self.dark2.mods[1](
+                p["dark2"]["1"], self.dark2.mods[0].act(z), ctx,
+                f"{path}.dark2.1")
+            outputs["dark2"] = x
+        else:
+            x = self.stem(p["stem"], x, ctx, f"{path}.stem")
+            outputs["stem"] = unfold(x, folds[0])
+            x = self.dark2(p["dark2"], x, ctx, f"{path}.dark2")
+            outputs["dark2"] = unfold(x, folds[1])
         x = self.dark3(p["dark3"], x, ctx, f"{path}.dark3")
         outputs["dark3"] = unfold(x, folds[2])
         x = self.dark4(p["dark4"], x, ctx, f"{path}.dark4")

@@ -268,7 +268,8 @@ class YoloxModule:
               nms_thre: float = 0.65, class_agnostic: bool = False,
               max_det: int = 256, lane_fold: Optional[bool] = None,
               int8_qtab: Optional[dict] = None,
-              int8_hbm_qtab: Optional[dict] = None):
+              int8_hbm_qtab: Optional[dict] = None,
+              stem_s2d: Optional[bool] = None):
         """Fused serving step: forward + top-k select + f32 decode of the
         selected candidates + on-device NMS, as one graph. x: (B, H, W, 3)
         float NHWC. Returns (detections (B, max_det, 7), valid mask).
@@ -288,6 +289,12 @@ class YoloxModule:
         consumers fold the incoming scale into their weights, so the
         per-block quantize/dequant ladder of `int8_qtab` disappears.
         The lever for the bandwidth-bound light models (nano/tiny).
+
+        `stem_s2d` (default `config.serve_stem_s2d`): run the CspDarknet
+        stem through the transpose-free space-to-depth fold
+        (yolox_tpu/ops/stem_s2d.py) — same math MXU-shaped, measured
+        3.6x on the stem region that dominates batch-1 latency. Float
+        path only; ignored where illegal.
         """
         import dataclasses
 
@@ -298,6 +305,8 @@ class YoloxModule:
             x = x.astype(self.dtype)
         if lane_fold is None:
             lane_fold = getattr(self.config, "serve_lane_fold", False)
+        if stem_s2d is None:
+            stem_s2d = getattr(self.config, "serve_stem_s2d", True)
         if int8_hbm_qtab is not None:
             ctx = dataclasses.replace(EVAL_CTX, int8_hbm_qtab=int8_hbm_qtab)
         elif int8_qtab is not None:
@@ -310,6 +319,12 @@ class YoloxModule:
             ctx = dataclasses.replace(EVAL_CTX, lane_fold=True)
         else:
             ctx = EVAL_CTX
+        if stem_s2d:
+            # transpose-free space-to-depth stem (ops/stem_s2d.py);
+            # CspDarknet checks per-call legality (skips itself under
+            # the int8/calib/folded contexts set above) and other
+            # backbones ignore the flag.
+            ctx = dataclasses.replace(ctx, stem_s2d=True)
         fpn_outs = self.backbone(params["backbone"], x, ctx, "backbone")
         outs, grids, strides = self.head.forward_raw_levels(
             params["head"], fpn_outs, ctx, "head")
