@@ -99,7 +99,7 @@ def _toy_labels(batch, size, n=10):
 
 
 def bench_serve(name, batch, iters, batch1=False, int8=False,
-                int8_hbm=False):
+                int8_hbm=False, stem_s2d=None):
     import jax.numpy as jnp
 
     module, cfg = _model(name, jnp.bfloat16)
@@ -116,7 +116,8 @@ def bench_serve(name, batch, iters, batch1=False, int8=False,
         return module.serve(p, x, conf_thre=0.5, nms_thre=cfg.nmsthre,
                             class_agnostic=False, max_det=256,
                             int8_qtab=qtab if int8 else None,
-                            int8_hbm_qtab=qtab if int8_hbm else None)
+                            int8_hbm_qtab=qtab if int8_hbm else None,
+                            stem_s2d=stem_s2d)
     run = _timed_loop(serve, module.params, x, iters,
                       lambda out: jnp.sum(out[0][:, 0, 0]))
     np.asarray(run(module.params, x))          # compile + warmup
@@ -299,19 +300,19 @@ DEFAULT_ITERS = {"serve": 32, "serve-b1": 128, "fwd": 32,
 
 
 def run_one(model, mode, batch, iters, remat, int8=False, int8_hbm=False,
-            pipelined=False):
+            pipelined=False, stem_s2d=None):
     if iters is None:
         iters = DEFAULT_ITERS[mode]
     if mode == "serve":
         out = bench_serve(model, batch or SERVE_BATCH[model], iters,
-                          int8=int8, int8_hbm=int8_hbm)
+                          int8=int8, int8_hbm=int8_hbm, stem_s2d=stem_s2d)
         if model == "s" and batch is None and not (int8 or int8_hbm):
             # keep the driver headline metric name stable
             out["metric"] = ("yolox_s 640px batched inference incl. NMS "
                              "(bf16)")
     elif mode == "serve-b1":
         out = bench_serve(model, 1, iters, batch1=True, int8=int8,
-                          int8_hbm=int8_hbm)
+                          int8_hbm=int8_hbm, stem_s2d=stem_s2d)
     elif mode == "fwd":
         out = bench_fwd(model, batch or SERVE_BATCH[model], iters)
     elif mode == "train":
@@ -362,6 +363,10 @@ def main():
                     help="serve modes: int8-activations-in-HBM PTQ "
                          "(QTensor block interface; halves inter-block "
                          "HBM bytes — the light-model lever)")
+    ap.add_argument("--stem-s2d", default=None, choices=["on", "off"],
+                    help="serve modes: force the space-to-depth stem fold "
+                         "on/off (default: the config's batch-conditional "
+                         "policy; ops/stem_s2d.py)")
     ap.add_argument("--pipelined", action="store_true",
                     help="train-aug: software-pipelined variant (step n "
                          "+ augment n+1 in one program; "
@@ -379,9 +384,10 @@ def main():
             print(json.dumps(out), flush=True)
         return
 
+    stem = {None: None, "on": True, "off": False}[args.stem_s2d]
     out = run_one(args.model, args.mode, args.batch, args.iters, args.remat,
                   int8=args.int8, int8_hbm=args.int8_hbm,
-                  pipelined=args.pipelined)
+                  pipelined=args.pipelined, stem_s2d=stem)
     print(json.dumps(out))
 
 

@@ -6,7 +6,6 @@ label format, worker/determinism invariants, and the mosaic on/off switch.
 """
 
 import numpy as np
-import pytest
 
 def _make_loader(coco_dir, num_workers, seed=0, mosaic=True, batch_size=4):
     from yolox_tpu.data import (

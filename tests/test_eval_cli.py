@@ -2,7 +2,6 @@
 `yolox/cli/eval.py`): --speed mode (random weights) and --fuse."""
 
 import os
-import sys
 import textwrap
 
 import pytest

@@ -91,7 +91,9 @@ def test_fallback_when_illegal():
     assert not bb._use_stem_s2d(S2D_CTX, x_ok, folded=True)
     assert not bb._use_stem_s2d(
         dataclasses.replace(S2D_CTX, train=True), x_ok, False)
-    assert not bb._use_stem_s2d(
+    # the int8 modes COMPOSE (round-5; ops/stem_s2d.py int8 section) —
+    # only calibration still runs the plain path (canonical qtab keys)
+    assert bb._use_stem_s2d(
         dataclasses.replace(S2D_CTX, int8_hbm_qtab={}), x_ok, False)
     assert not bb._use_stem_s2d(
         dataclasses.replace(S2D_CTX, calib_sink={}), x_ok, False)
@@ -143,3 +145,64 @@ def test_fold_kernels_preserve_tap_values():
     nz_per_out = (wb != 0).reshape(-1, 16).sum(axis=0)
     np.testing.assert_array_equal(nz_per_out, 9 * 8)
     assert np.isclose(np.abs(wb).sum(), np.abs(np.asarray(wd)).sum())
+
+
+@pytest.mark.parametrize("mode", ["ladder", "hbm"])
+def test_serve_s2d_composes_with_int8(mode):
+    """int8 serving with the s2d stem equals the plain int8 path: the
+    calibrated scales transfer through the folds (per-tensor scales are
+    reshape-invariant, per-channel scales tile), so codes and int32
+    accumulations match bitwise modulo spatial layout."""
+    cfg = YoloxConfig("s2d-int8-test", num_classes=7, depth=0.33,
+                      width=0.25, input_size=(64, 64), lane_fold=False)
+    module = YoloxModule.from_config(cfg, rng_seed=6)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)), jnp.float32)
+    qtab = module.calibrate_int8(module.params, x)
+    kw = {"int8_qtab": qtab} if mode == "ladder" else {"int8_hbm_qtab": qtab}
+
+    on = jax.jit(lambda p, xx: module.serve(p, xx, conf_thre=0.01,
+                                            max_det=32, stem_s2d=True, **kw))
+    off = jax.jit(lambda p, xx: module.serve(p, xx, conf_thre=0.01,
+                                             max_det=32, stem_s2d=False,
+                                             **kw))
+    dets_on, valid_on = on(module.params, x)
+    dets_off, valid_off = off(module.params, x)
+    np.testing.assert_array_equal(np.asarray(valid_on),
+                                  np.asarray(valid_off))
+    np.testing.assert_allclose(np.asarray(dets_on), np.asarray(dets_off),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("mode", ["ladder", "hbm"])
+def test_backbone_s2d_int8_region_exact(mode):
+    """Backbone-level check at tighter tolerance: the s2d int8 stem
+    region reproduces the plain int8 path's features (f32 epilogues,
+    identical int8 codes -> only conv-order reassociation drift)."""
+    import dataclasses as dc
+
+    from yolox_tpu.models.pafpn import YoloPafpn
+
+    bb = YoloPafpn(0.33, 0.25, lane_fold=False)
+    rng = np.random.default_rng(8)
+    p = jax.tree.map(jnp.asarray, {"backbone": bb.init(rng)})
+    x = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+
+    sink = {}
+    calib_ctx = dc.replace(EVAL_CTX, calib_sink=sink)
+    bb(p["backbone"], x, calib_ctx, "backbone")
+    qtab = jax.tree.map(jnp.asarray, sink)
+
+    key = "int8_qtab" if mode == "ladder" else "int8_hbm_qtab"
+    ctx_off = dc.replace(EVAL_CTX, **{key: qtab})
+    ctx_on = dc.replace(ctx_off, stem_s2d=True)
+    from yolox_tpu.ops.quant import QTensor, dequant
+
+    def arr(t):
+        return np.asarray(dequant(t) if isinstance(t, QTensor) else t)
+
+    ref = bb(p["backbone"], x, ctx_off, "backbone")
+    got = bb(p["backbone"], x, ctx_on, "backbone")
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(arr(g), arr(r), rtol=1e-4, atol=1e-4,
+                                   err_msg=f"level {i} ({mode})")

@@ -6,7 +6,6 @@ deleted `yolox.exp`). Image / folder / video inference with drawn boxes.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 import time
 from pathlib import Path

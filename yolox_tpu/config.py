@@ -9,7 +9,7 @@ torch objects.
 from __future__ import annotations
 
 import ast
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Literal, Optional, Tuple
 
 import numpy as np
@@ -120,11 +120,18 @@ class YoloxConfig:
     # fold (yolox_tpu/ops/stem_s2d.py): same math, MXU-shaped. XLA's
     # 3-channel Focus conv is VPU-lowered at ~0.6% MFU — 65% of batch-1
     # device time; the fold measured 3.6x on the stem+dark2conv1 region
-    # (v5e, 640px b1). Applies to the float serving path only (the int8
-    # modes and lane folding keep their own stem handling); silently
-    # falls back when illegal (depthwise stem, spatial dims not
-    # divisible by 4). docs/serving_performance.md "Batch-1 latency".
-    serve_stem_s2d: bool = True
+    # (v5e, 640px b1) but its 2.67x structural-zero FLOPs lose at large
+    # batch where the folded-Focus stem is already cheap. "auto"
+    # (default): enable when the traced batch is <= serve_stem_s2d_max_
+    # batch — batch size is static under jit, so this is a per-shape
+    # compile-time choice, not a runtime branch. True/False force it.
+    # Composes with the int8 modes; silently falls back when illegal
+    # (depthwise stem, spatial dims not divisible by 4, lane folding).
+    # Measured A/B per model/batch: docs/serving_performance.md.
+    serve_stem_s2d: Any = "auto"
+    # "auto" cutoff: largest batch the s2d stem serves (round-5 on-chip
+    # A/B, docs/serving_performance.md "stem_s2d A/B")
+    serve_stem_s2d_max_batch: int = 8
     # fused custom-vjp backward for the Conv->BN->act blocks
     # (yolox_tpu/ops/pallas_conv_bwd.py). Measured on a v5e (yolox-s b64):
     # XLA autodiff of the unfused composite is FASTER (136 ms vs 155 ms

@@ -14,8 +14,6 @@ torch SGD (nesterov, dampening 0):
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 

@@ -17,11 +17,9 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
-
-from yolox_tpu.utils.logger import logger
 
 
 def get_yolox_datadir() -> str:

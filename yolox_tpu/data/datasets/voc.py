@@ -7,7 +7,6 @@ writing + `voc_eval` over IoU .5:.95).
 from __future__ import annotations
 
 import os
-import os.path
 import pickle
 import xml.etree.ElementTree as ET
 

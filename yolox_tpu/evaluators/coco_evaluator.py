@@ -15,7 +15,6 @@ import itertools
 import time
 from collections import ChainMap, defaultdict
 from contextlib import redirect_stdout
-from typing import Optional
 
 import numpy as np
 

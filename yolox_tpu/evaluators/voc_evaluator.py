@@ -7,7 +7,6 @@ on-device NMS, per-class box lists handed to
 from __future__ import annotations
 
 import time
-from collections import defaultdict
 
 import numpy as np
 

@@ -6,8 +6,6 @@ and parameter-tree keys, functional JAX execution.
 
 from __future__ import annotations
 
-import jax
-
 from yolox_tpu.models.blocks import (
     BaseConv,
     CspLayer,
@@ -92,12 +90,13 @@ class CspDarknet(Module):
 
     def _use_stem_s2d(self, ctx, x, folded) -> bool:
         """Legality of the space-to-depth stem fold for this call: serve
-        (eval) context only, plain BaseConv stem chain, no quantized or
-        calibrating execution, spatial dims foldable by 4, and nobody
-        downstream asking for the unblocked stem feature map."""
+        (eval) context only, plain BaseConv stem chain, not calibrating
+        (calibration runs the plain path so the qtab gets the canonical
+        keys), spatial dims foldable by 4, and nobody downstream asking
+        for the unblocked stem feature map. The int8 ladder and
+        int8-in-HBM modes compose (ops/stem_s2d.py int8 section)."""
         return (ctx.stem_s2d and not ctx.train and not folded
                 and not self.depthwise
-                and ctx.int8_qtab is None and ctx.int8_hbm_qtab is None
                 and ctx.calib_sink is None
                 and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
                 and "stem" not in self.out_features)
@@ -119,22 +118,39 @@ class CspDarknet(Module):
             # Transpose-free space-to-depth stem (ops/stem_s2d.py): the
             # stem + dark2's first conv run as two MXU-shaped convs over
             # blocked channels; the output is layout-identical to the
-            # plain path, so dark2's CSP layer onward is untouched.
+            # plain path, so dark2's CSP layer onward is untouched. The
+            # int8 serving modes run the same folds quantized (exact
+            # composition: the calibrated scales transfer, see the int8
+            # section of ops/stem_s2d.py).
             from yolox_tpu.models.blocks import batch_norm
             from yolox_tpu.ops import stem_s2d as s2d
 
-            a = s2d.stem_conv_blocked(
-                p["stem"]["conv"]["conv"]["weight"], x)
-            a = batch_norm(s2d.tile4(p["stem"]["conv"]["bn"]), a, ctx,
-                           f"{path}.stem.conv.bn")
-            a = self.stem.conv.act(a)
-            z = s2d.next_conv_blocked(
-                p["dark2"]["0"]["conv"]["weight"], a)
-            z = batch_norm(p["dark2"]["0"]["bn"], z, ctx,
-                           f"{path}.dark2.0.bn")
+            act_s = self.stem.conv.act
+            act_n = self.dark2.mods[0].act
+            if ctx.int8_hbm_qtab is not None:
+                x = s2d.stem_blocked_hbm(
+                    p["stem"], p["dark2"]["0"], x,
+                    ctx.int8_hbm_qtab[f"{path}.stem.conv.out"],
+                    ctx.int8_hbm_qtab[f"{path}.dark2.0.out"],
+                    act_s, act_n)
+            elif ctx.int8_qtab is not None:
+                x = s2d.stem_blocked_ladder(
+                    p["stem"], p["dark2"]["0"], x,
+                    ctx.int8_qtab[f"{path}.stem.conv"],
+                    ctx.int8_qtab[f"{path}.dark2.0"],
+                    act_s, act_n, x.dtype)
+            else:
+                a = s2d.stem_conv_blocked(
+                    p["stem"]["conv"]["conv"]["weight"], x)
+                a = batch_norm(s2d.tile4(p["stem"]["conv"]["bn"]), a, ctx,
+                               f"{path}.stem.conv.bn")
+                a = act_s(a)
+                z = s2d.next_conv_blocked(
+                    p["dark2"]["0"]["conv"]["weight"], a)
+                x = act_n(batch_norm(p["dark2"]["0"]["bn"], z, ctx,
+                                     f"{path}.dark2.0.bn"))
             x = self.dark2.mods[1](
-                p["dark2"]["1"], self.dark2.mods[0].act(z), ctx,
-                f"{path}.dark2.1")
+                p["dark2"]["1"], x, ctx, f"{path}.dark2.1")
             outputs["dark2"] = x
         else:
             x = self.stem(p["stem"], x, ctx, f"{path}.stem")

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 
 from yolox_tpu.models.blocks import (

@@ -290,11 +290,13 @@ class YoloxModule:
         per-block quantize/dequant ladder of `int8_qtab` disappears.
         The lever for the bandwidth-bound light models (nano/tiny).
 
-        `stem_s2d` (default `config.serve_stem_s2d`): run the CspDarknet
-        stem through the transpose-free space-to-depth fold
-        (yolox_tpu/ops/stem_s2d.py) — same math MXU-shaped, measured
-        3.6x on the stem region that dominates batch-1 latency. Float
-        path only; ignored where illegal.
+        `stem_s2d` (default `config.serve_stem_s2d`, normally "auto" =
+        on for traced batches <= `config.serve_stem_s2d_max_batch`): run
+        the CspDarknet stem through the transpose-free space-to-depth
+        fold (yolox_tpu/ops/stem_s2d.py) — same math MXU-shaped,
+        measured 3.6x on the stem region that dominates batch-1 latency;
+        loses at large batch (A/B in docs/serving_performance.md).
+        Composes with the int8 modes; ignored where illegal.
         """
         import dataclasses
 
@@ -306,7 +308,16 @@ class YoloxModule:
         if lane_fold is None:
             lane_fold = getattr(self.config, "serve_lane_fold", False)
         if stem_s2d is None:
-            stem_s2d = getattr(self.config, "serve_stem_s2d", True)
+            policy = getattr(self.config, "serve_stem_s2d", "auto")
+            if policy == "auto":
+                # batch size is static at trace time: each compiled
+                # serve graph picks the stem formulation measured best
+                # for its batch (small-batch: MXU s2d fold; large-batch:
+                # the folded-Focus stem) — docs/serving_performance.md
+                stem_s2d = x.shape[0] <= getattr(
+                    self.config, "serve_stem_s2d_max_batch", 8)
+            else:
+                stem_s2d = bool(policy)
         if int8_hbm_qtab is not None:
             ctx = dataclasses.replace(EVAL_CTX, int8_hbm_qtab=int8_hbm_qtab)
         elif int8_qtab is not None:
@@ -321,9 +332,10 @@ class YoloxModule:
             ctx = EVAL_CTX
         if stem_s2d:
             # transpose-free space-to-depth stem (ops/stem_s2d.py);
-            # CspDarknet checks per-call legality (skips itself under
-            # the int8/calib/folded contexts set above) and other
-            # backbones ignore the flag.
+            # composes with the int8 modes above. CspDarknet checks
+            # per-call legality (skips itself under lane folding /
+            # calibration / depthwise) and other backbones ignore the
+            # flag.
             ctx = dataclasses.replace(ctx, stem_s2d=True)
         fpn_outs = self.backbone(params["backbone"], x, ctx, "backbone")
         outs, grids, strides = self.head.forward_raw_levels(

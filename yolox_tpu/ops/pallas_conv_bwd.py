@@ -52,7 +52,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from yolox_tpu.models.blocks import BN_EPS  # single source (ref yolox/config.py:162)
 

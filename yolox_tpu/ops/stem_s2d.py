@@ -32,6 +32,8 @@ v5e at 640px b1: stem+dark2conv1 region 884us -> 244us (3.6x).
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -42,6 +44,35 @@ _DN = ("NHWC", "HWIO", "NHWC")
 QUAD = ((0, 0), (1, 0), (0, 1), (1, 1))
 
 
+def _stem_fold_index():
+    """Static (numpy) tap map for fold_stem_kernel: for each conv-A slot
+    (r, dq, s, bi) the source Focus tap (u, v, gi) — or masked zero.
+
+    The map is injective per block index bi: rowoff = 2(a+u-1)+dy fixes
+    (u, dy) by parity, coloff = 2(b+v-1)+dx fixes (v, dx), and (dq, s)
+    <-> coloff is a bijection, so every slot has at most one source.
+    """
+    U = np.zeros((8, 3, 4, 4), np.int32)
+    V = np.zeros((8, 3, 4, 4), np.int32)
+    G = np.zeros((8, 3, 4, 4), np.int32)
+    M = np.zeros((8, 3, 4, 4), np.float32)
+    for bi, (a, b) in enumerate(QUAD):
+        for u in range(3):
+            for v in range(3):
+                for gi, (dy, dx) in enumerate(QUAD):
+                    rowoff = 2 * (a + u - 1) + dy          # in [-2, 5]
+                    coloff = 2 * (b + v - 1) + dx          # in [-2, 5]
+                    dq, s = coloff // 4, coloff % 4
+                    U[rowoff + 2, dq + 1, s, bi] = u
+                    V[rowoff + 2, dq + 1, s, bi] = v
+                    G[rowoff + 2, dq + 1, s, bi] = gi
+                    M[rowoff + 2, dq + 1, s, bi] = 1.0
+    return U, V, G, M
+
+
+_STEM_IDX = _stem_fold_index()
+
+
 def fold_stem_kernel(w1):
     """(3, 3, 12, C) Focus conv kernel -> (8, 3, 12, 4C) conv-A kernel.
 
@@ -50,21 +81,37 @@ def fold_stem_kernel(w1):
     4p-2..4p+5 at stride 4. For each output block position (a, b) and
     original tap (u, v, quadrant g=(dy, dx)): the raw pixel read is
     row 4p + 2(a+u-1)+dy, col 4q + 2(b+v-1)+dx.
+
+    Implemented as ONE static gather (+ mask) so the fold costs a few
+    kB of data movement inside the serving graph, not a chain of
+    dynamic-update-slices.
     """
     c = w1.shape[3]
-    wa = jnp.zeros((8, 3, 12, 4 * c), w1.dtype)
-    for bi, (a, b) in enumerate(QUAD):
-        for u in range(3):
-            for v in range(3):
-                for gi, (dy, dx) in enumerate(QUAD):
-                    rowoff = 2 * (a + u - 1) + dy          # in [-2, 5]
-                    coloff = 2 * (b + v - 1) + dx          # in [-2, 5]
-                    dq, s = coloff // 4, coloff % 4
-                    wa = wa.at[rowoff + 2, dq + 1,
-                               s * 3:s * 3 + 3,
-                               bi * c:(bi + 1) * c].set(
-                        w1[u, v, gi * 3:(gi + 1) * 3])
-    return wa
+    U, V, G, M = _STEM_IDX
+    # (u, v, 12, C) -> (u, v, gi, cc, C); gather -> (8, 3, 4, 4, cc, C)
+    w1r = w1.reshape(3, 3, 4, 3, c)
+    wa = w1r[U, V, G] * jnp.asarray(M, w1.dtype)[..., None, None]
+    # (r, dq, s, bi, cc, C) -> (r, dq, s, cc, bi, C) -> (8, 3, 12, 4C)
+    return wa.transpose(0, 1, 2, 4, 3, 5).reshape(8, 3, 12, 4 * c)
+
+
+def _next_fold_index():
+    """Static tap map for fold_next_kernel: slot (dp, dq, bi) -> (u, v)."""
+    U = np.zeros((2, 2, 4), np.int32)
+    V = np.zeros((2, 2, 4), np.int32)
+    M = np.zeros((2, 2, 4), np.float32)
+    for u in range(3):
+        dp, a = (u - 1) // 2, (u - 1) % 2
+        for v in range(3):
+            dq, b = (v - 1) // 2, (v - 1) % 2
+            bi = QUAD.index((a, b))
+            U[dp + 1, dq + 1, bi] = u
+            V[dp + 1, dq + 1, bi] = v
+            M[dp + 1, dq + 1, bi] = 1.0
+    return U, V, M
+
+
+_NEXT_IDX = _next_fold_index()
 
 
 def fold_next_kernel(wd):
@@ -73,16 +120,12 @@ def fold_next_kernel(wd):
     Consumes conv A's blocked channels (bi*C + o): the original tap at
     stem-grid row 2m+u-1 lives in block row m + (u-2)//2... precisely,
     t = u-1 -> (dp, a) = (t//2, t%2), a 2-tap window with pad (1, 0).
+    Single static gather, like `fold_stem_kernel`.
     """
     c, c2 = wd.shape[2], wd.shape[3]
-    wb = jnp.zeros((2, 2, 4 * c, c2), wd.dtype)
-    for u in range(3):
-        dp, a = (u - 1) // 2, (u - 1) % 2
-        for v in range(3):
-            dq, b = (v - 1) // 2, (v - 1) % 2
-            bi = QUAD.index((a, b))
-            wb = wb.at[dp + 1, dq + 1, bi * c:(bi + 1) * c].set(wd[u, v])
-    return wb
+    U, V, M = _NEXT_IDX
+    wb = wd[U, V] * jnp.asarray(M, wd.dtype)[..., None, None]
+    return wb.reshape(2, 2, 4 * c, c2)
 
 
 def tile4(bn_params):
@@ -108,3 +151,89 @@ def next_conv_blocked(wd, a):
     return lax.conv_general_dilated(
         a, wb.astype(a.dtype), (1, 1), ((1, 0), (1, 0)),
         dimension_numbers=_DN)
+
+
+# ---------------------------------------------------------------------------
+# int8 composition (the PTQ serving modes, yolox_tpu/ops/quant.py)
+#
+# Both folds are per-output-channel re-indexings of the plain kernels, so
+# the quantization algebra composes exactly: BN folds into the UNfolded
+# kernel first (fold_bn is per-output-channel, the stem fold only tiles
+# the output axis, the next fold doesn't touch it), per-channel weight
+# amaxes of the folded kernel equal the plain kernel's (structural zeros
+# don't raise an abs-max), and the calibrated activation scales transfer
+# (per-tensor: reshapes don't change values; per-channel: `tile4`).
+# Consequence: the int8 codes and int32 accumulations are bit-identical
+# to the plain quantized path modulo spatial layout.
+# ---------------------------------------------------------------------------
+
+def _conv_a_int8(wa_fused, x, sx):
+    """Quantized conv A: reshaped image codes x folded-kernel codes."""
+    from yolox_tpu.ops import quant
+
+    b, h, w, _ = x.shape
+    y = x.reshape(b, h, w // 4, 12)
+    xq = quant.quantize(y, sx)
+    wq, sw = quant.weight_qparams(wa_fused)
+    acc = lax.conv_general_dilated(
+        xq, wq, (4, 1), ((2, 2), (1, 1)), dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+    return acc, sx * sw
+
+
+def stem_blocked_ladder(p_stem, p_next, x, amax_stem, amax_next,
+                        act_stem, act_next, out_dtype):
+    """Both folded convs in per-block int8 ladder mode
+    (`quant.conv_bn_act` algebra at the folded shapes/strides).
+
+    `amax_stem`/`amax_next` are the plain path's per-tensor calibration
+    entries (`<path>.stem.conv` / `<path>.dark2.0`): the reshape into
+    blocked layout is value-preserving, so the scales transfer exactly.
+    Returns the dark2.0 activation in the plain path's layout.
+    """
+    from yolox_tpu.ops import quant
+
+    w_fused, bias = quant.fold_bn(p_stem["conv"]["conv"]["weight"],
+                                  p_stem["conv"]["bn"])
+    wa = fold_stem_kernel(w_fused)
+    acc, scale = _conv_a_int8(wa, x, quant.act_scale(amax_stem))
+    a = act_stem(acc.astype(jnp.float32) * scale + jnp.tile(bias, 4))
+
+    w2_fused, bias2 = quant.fold_bn(p_next["conv"]["weight"], p_next["bn"])
+    wb = fold_next_kernel(w2_fused)
+    sx2 = quant.act_scale(amax_next)
+    aq = quant.quantize(a, sx2)
+    wq2, sw2 = quant.weight_qparams(wb)
+    acc2 = lax.conv_general_dilated(
+        aq, wq2, (1, 1), ((1, 0), (1, 0)), dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+    y = act_next(acc2.astype(jnp.float32) * (sx2 * sw2) + bias2)
+    return y.astype(out_dtype)
+
+
+def stem_blocked_hbm(p_stem, p_next, x, amax_stem_out, amax_next_out,
+                     act_stem, act_next):
+    """Both folded convs in int8-in-HBM mode (`quant.conv_bn_act_hbm`
+    algebra): conv A stays float like the plain path's 3-channel stem,
+    its output requantizes at the 4x-tiled per-channel stem amax, conv B
+    folds the incoming scale into its BN-folded weights and emits the
+    dark2.0 QTensor the CSP layer consumes.
+    """
+    from yolox_tpu.ops import quant
+
+    from yolox_tpu.models.blocks import EVAL_CTX, batch_norm
+
+    a = stem_conv_blocked(p_stem["conv"]["conv"]["weight"], x)
+    a = act_stem(batch_norm(tile4(p_stem["conv"]["bn"]), a, EVAL_CTX,
+                            "stem_s2d.bn"))
+    qa = quant.requant(a, jnp.tile(jnp.asarray(amax_stem_out), 4))
+
+    w_fused, bias = quant.fold_bn(p_next["conv"]["weight"], p_next["bn"])
+    wb = fold_next_kernel(w_fused)
+    w_eff = quant.fold_in_scale(wb, qa.scale, 1)
+    wq, sw = quant.weight_qparams(w_eff)
+    acc = lax.conv_general_dilated(
+        qa.codes, wq, (1, 1), ((1, 0), (1, 0)), dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+    y = act_next(acc.astype(jnp.float32) * sw + bias)
+    return quant.requant(y, amax_next_out)
