@@ -171,16 +171,29 @@ def bench_fwd(name, batch, iters):
 
 
 def bench_train(name, batch, iters, remat=False, device_aug=False,
-                pipelined=False):
+                pipelined=False, stem_s2d=False):
     import jax
     import jax.numpy as jnp
 
     from yolox_tpu.core import init_train_state, make_train_step
 
-    module, cfg = _model(name, jnp.float32)   # f32 master weights
+    if stem_s2d:
+        # A/B leg: the s2d stem is mutually exclusive with lane folding
+        # at the stem, so this leg builds the backbone unfolded — the
+        # comparison is (lane-fold default) vs (plain + s2d stem);
+        # docs/train_step_performance.md "stem_s2d on the train step"
+        from yolox_tpu import YoloxConfig, YoloxModule
+
+        registry_name = name if name == "yolov3" else f"yolox_{name}"
+        cfg = YoloxConfig.get_named_config(registry_name)
+        cfg.lane_fold = False
+        module = YoloxModule.from_config(cfg, dtype=jnp.float32)
+    else:
+        module, cfg = _model(name, jnp.float32)   # f32 master weights
     size = cfg.input_size[0]
     step = make_train_step(module, cfg.num_classes,
-                           compute_dtype=jnp.bfloat16, remat=remat)
+                           compute_dtype=jnp.bfloat16, remat=remat,
+                           stem_s2d=stem_s2d)
     state = init_train_state(module.params)
     rng = np.random.default_rng(0)
     # Trainer-consistent linear lr scaling (basic_lr_per_img * batch,
@@ -257,6 +270,7 @@ def bench_train(name, batch, iters, remat=False, device_aug=False,
     tag = " incl. on-device augmentation" if device_aug else ""
     tag += " (pipelined)" if pipelined else ""
     tag += ", remat" if remat else ""
+    tag += ", s2d stem (no lane fold)" if stem_s2d else ""
     return {
         "metric": f"{_disp(name)} {size}px training step{tag} "
                   f"(bf16, batch {batch})",
@@ -317,7 +331,7 @@ def run_one(model, mode, batch, iters, remat, int8=False, int8_hbm=False,
         out = bench_fwd(model, batch or SERVE_BATCH[model], iters)
     elif mode == "train":
         out = bench_train(model, batch or TRAIN_BATCH[model], iters,
-                          remat=remat)
+                          remat=remat, stem_s2d=(stem_s2d is True))
     else:
         out = bench_train(model, batch or TRAIN_BATCH[model], iters,
                           device_aug=True, pipelined=pipelined)

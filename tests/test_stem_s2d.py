@@ -77,8 +77,9 @@ def test_backbone_s2d_matches_plain():
 
 
 def test_fallback_when_illegal():
-    """Depthwise stems, non-divisible spatial dims, train ctx, and a
-    requested 'stem' feature all fall back to the plain path."""
+    """Depthwise stems, non-divisible spatial dims, lane-folded
+    execution, calibration, and a requested 'stem' feature all fall back
+    to the plain path."""
     rng = np.random.default_rng(2)
     x_ok = jnp.zeros((1, 64, 64, 3), jnp.float32)
 
@@ -89,9 +90,14 @@ def test_fallback_when_illegal():
     assert bb._use_stem_s2d(S2D_CTX, x_ok, folded=False)
     assert not bb._use_stem_s2d(S2D_CTX, jnp.zeros((1, 66, 64, 3)), False)
     assert not bb._use_stem_s2d(S2D_CTX, x_ok, folded=True)
-    assert not bb._use_stem_s2d(
+    # round-5: the TRAIN step composes (config.train_stem_s2d; fused_bwd
+    # keeps its own BaseConv custom-vjp path) ...
+    assert bb._use_stem_s2d(
         dataclasses.replace(S2D_CTX, train=True), x_ok, False)
-    # the int8 modes COMPOSE (round-5; ops/stem_s2d.py int8 section) —
+    assert not bb._use_stem_s2d(
+        dataclasses.replace(S2D_CTX, train=True, fused_bwd=True), x_ok,
+        False)
+    # ... and so do the int8 modes (ops/stem_s2d.py int8 section) —
     # only calibration still runs the plain path (canonical qtab keys)
     assert bb._use_stem_s2d(
         dataclasses.replace(S2D_CTX, int8_hbm_qtab={}), x_ok, False)
@@ -206,3 +212,48 @@ def test_backbone_s2d_int8_region_exact(mode):
     for i, (r, g) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(arr(g), arr(r), rtol=1e-4, atol=1e-4,
                                    err_msg=f"level {i} ({mode})")
+
+
+def test_train_step_s2d_matches_plain():
+    """One full train step (fwd + SimOTA + bwd + SGD + BN stats) with the
+    s2d stem equals the plain step: losses, updated params, and the stem
+    BN running stats (logical (C,), pooled over block slots)."""
+    from yolox_tpu.core import init_train_state, make_train_step
+    from yolox_tpu.models.weights import nested_to_flat
+
+    cfg = YoloxConfig("s2d-train-test", num_classes=5, depth=0.33,
+                      width=0.25, input_size=(64, 64), lane_fold=False)
+    module = YoloxModule.from_config(cfg, rng_seed=9)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)), jnp.float32)
+    labels = np.zeros((2, 6, 5), np.float32)
+    labels[:, 0] = [1, 32, 32, 20, 20]
+    labels[:, 1] = [3, 16, 16, 12, 10]
+    labels = jnp.asarray(labels)
+
+    results = {}
+    for flag in (False, True):
+        step = make_train_step(module, 5, stem_s2d=flag, use_ema=False)
+        state = init_train_state(module.params)
+        state, metrics = step(state, x, labels, jnp.float32(0.01))
+        results[flag] = (jax.tree.map(np.asarray, state),
+                         jax.tree.map(np.asarray, metrics))
+
+    (s_off, m_off), (s_on, m_on) = results[False], results[True]
+    np.testing.assert_allclose(m_on["total_loss"], m_off["total_loss"],
+                               rtol=1e-4, atol=1e-4)
+    flat_off = nested_to_flat(s_off["params"])
+    flat_on = nested_to_flat(s_on["params"])
+    assert set(flat_off) == set(flat_on)
+    for k in flat_off:
+        np.testing.assert_allclose(
+            flat_on[k], flat_off[k], rtol=5e-3, atol=5e-4, err_msg=k)
+    # the stem BN running stats must stay logical (C,) and match
+    stats_off = nested_to_flat(s_off["stats"])
+    stats_on = nested_to_flat(s_on["stats"])
+    for k in stats_off:
+        if "stem" in k:
+            assert stats_on[k].shape == stats_off[k].shape, k
+            np.testing.assert_allclose(
+                stats_on[k], stats_off[k], rtol=1e-4, atol=1e-5,
+                err_msg=k)

@@ -132,6 +132,12 @@ class YoloxConfig:
     # "auto" cutoff: largest batch the s2d stem serves (round-5 on-chip
     # A/B, docs/serving_performance.md "stem_s2d A/B")
     serve_stem_s2d_max_batch: int = 8
+    # run the TRAIN-step stem through the same space-to-depth fold
+    # (differentiable gathers; train-mode BN pools the block slots —
+    # ops/stem_s2d.py:blocked_batch_norm_train). Mutually exclusive with
+    # lane folding at the stem (lane_fold wins when both are on). A/B in
+    # docs/train_step_performance.md.
+    train_stem_s2d: bool = False
     # fused custom-vjp backward for the Conv->BN->act blocks
     # (yolox_tpu/ops/pallas_conv_bwd.py). Measured on a v5e (yolox-s b64):
     # XLA autodiff of the unfused composite is FASTER (136 ms vs 155 ms

@@ -79,6 +79,7 @@ def make_train_step(
     remat: bool = False,
     num_candidates: Optional[int] = None,
     fused_bwd: bool = False,
+    stem_s2d: bool = False,
     _jit: bool = True,
 ):
     """Returns step(state, x, labels, lr) -> (state, metrics).
@@ -112,7 +113,7 @@ def make_train_step(
             collector = BNCollector()
             head_out = module.apply_train(
                 params, xin, collector, freeze_prefix=freeze_prefix,
-                fused_bwd=fused_bwd)
+                fused_bwd=fused_bwd, stem_s2d=stem_s2d)
             return head_out, collector.updates
 
         if remat:

@@ -381,6 +381,7 @@ class Trainer:
                 if hasattr(self.exp, "resolved_simota_candidates")
                 else getattr(self.exp, "simota_candidates", None)),
             fused_bwd=getattr(self.exp, "fused_conv_bwd", False),
+            stem_s2d=getattr(self.exp, "train_stem_s2d", False),
         )
         self._step = make_train_step(
             self.module, self.exp.num_classes, use_l1=False, **common)

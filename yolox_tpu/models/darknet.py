@@ -89,15 +89,19 @@ class CspDarknet(Module):
         }
 
     def _use_stem_s2d(self, ctx, x, folded) -> bool:
-        """Legality of the space-to-depth stem fold for this call: serve
-        (eval) context only, plain BaseConv stem chain, not calibrating
-        (calibration runs the plain path so the qtab gets the canonical
-        keys), spatial dims foldable by 4, and nobody downstream asking
-        for the unblocked stem feature map. The int8 ladder and
-        int8-in-HBM modes compose (ops/stem_s2d.py int8 section)."""
-        return (ctx.stem_s2d and not ctx.train and not folded
+        """Legality of the space-to-depth stem fold for this call: plain
+        BaseConv stem chain, not calibrating (calibration runs the plain
+        path so the qtab gets the canonical keys), spatial dims foldable
+        by 4, and nobody downstream asking for the unblocked stem
+        feature map. The int8 ladder and int8-in-HBM modes compose
+        (ops/stem_s2d.py int8 section); the TRAIN step composes too
+        (folds are differentiable gathers, train-mode BN pools the block
+        slots — `stem_s2d.blocked_batch_norm_train`; knob
+        config.train_stem_s2d via apply_train)."""
+        return (ctx.stem_s2d and not folded
                 and not self.depthwise
                 and ctx.calib_sink is None
+                and ctx.fused_bwd is False
                 and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
                 and "stem" not in self.out_features)
 
@@ -142,8 +146,15 @@ class CspDarknet(Module):
             else:
                 a = s2d.stem_conv_blocked(
                     p["stem"]["conv"]["conv"]["weight"], x)
-                a = batch_norm(s2d.tile4(p["stem"]["conv"]["bn"]), a, ctx,
-                               f"{path}.stem.conv.bn")
+                bn_path = f"{path}.stem.conv.bn"
+                frozen = (ctx.eval_prefix is not None
+                          and bn_path.startswith(ctx.eval_prefix))
+                if ctx.train and not frozen:
+                    a = s2d.blocked_batch_norm_train(
+                        p["stem"]["conv"]["bn"], a, ctx, bn_path)
+                else:
+                    a = batch_norm(s2d.tile4(p["stem"]["conv"]["bn"]), a,
+                                   ctx, bn_path)
                 a = act_s(a)
                 z = s2d.next_conv_blocked(
                     p["dark2"]["0"]["conv"]["weight"], a)

@@ -475,18 +475,23 @@ class YoloxModule:
     def apply_train(self, params: dict, x, collector: Optional[BNCollector],
                     freeze_prefix: Optional[str] = None,
                     fused_bwd: bool = False,
-                    lane_fold: bool = True):
+                    lane_fold: bool = True,
+                    stem_s2d: bool = False):
         """Train-mode forward (pure): head training outputs + BN updates.
 
         Used by the training step (`yolox_tpu/core/train_step.py`); loss and
         SimOTA assignment live in `yolox_tpu/models/assign.py`.
         `freeze_prefix` runs BatchNorm under that parameter path in eval
         mode (frozen modules use running stats; reference
-        `model_utils.py:148-150`).
+        `model_utils.py:148-150`). `stem_s2d` routes the CspDarknet stem
+        through the space-to-depth fold (differentiable; train-mode BN
+        pools the block slots — config.train_stem_s2d, A/B in
+        docs/train_step_performance.md). Ignored when lane_fold folds the
+        stem.
         """
         ctx = Ctx(train=True, collector=collector,
                   eval_prefix=freeze_prefix, fused_bwd=fused_bwd,
-                  lane_fold=lane_fold)
+                  lane_fold=lane_fold, stem_s2d=stem_s2d)
         fpn_outs = self.backbone(params["backbone"], x, ctx, "backbone")
         return self.head.forward_train(params["head"], fpn_outs, ctx, "head")
 

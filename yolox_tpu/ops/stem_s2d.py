@@ -134,6 +134,41 @@ def tile4(bn_params):
             for k, v in bn_params.items()}
 
 
+def blocked_batch_norm_train(p, a, ctx, path):
+    """Train-mode BN on the blocked stem activation (slot-major 4C
+    lanes): batch statistics pool the 4 block slots back to the C
+    logical channels. Numerically the plain stem BN: the blocked tensor
+    holds exactly the same value multiset per logical channel (the
+    blocked H/4 x W/4 x 4 slots are the plain H/2 x W/2 positions), so
+    mean-of-slot-means is the overall mean and the pooled variance is
+    the overall variance. Running-stat updates are logical (C,), same
+    collector key as the plain path (`models/blocks.py:batch_norm`).
+    """
+    from yolox_tpu.models.blocks import BN_EPS, BN_MOMENTUM
+
+    c = p["weight"].shape[0]
+    sdt = jnp.promote_types(a.dtype, jnp.float32)
+    mean_f = jnp.mean(a, axis=(0, 1, 2), dtype=sdt)          # (4C,)
+    mean = jnp.mean(mean_f.reshape(4, c), axis=0)            # (C,)
+    diff = a.astype(sdt) - jnp.tile(mean, 4)
+    var_f = jnp.mean(diff * diff, axis=(0, 1, 2))
+    var = jnp.mean(var_f.reshape(4, c), axis=0)
+    if ctx.collector is not None:
+        n = a.shape[0] * a.shape[1] * a.shape[2] * 4
+        unbiased = var * (n / max(n - 1, 1))
+        m = BN_MOMENTUM
+        ctx.collector.put(
+            path,
+            (1 - m) * p["running_mean"] + m * mean,
+            (1 - m) * p["running_var"] + m * unbiased,
+            p["num_batches_tracked"] + 1)
+    inv = lax.rsqrt(var.astype(sdt) + BN_EPS)
+    scale = jnp.tile((p["weight"] * inv).astype(a.dtype), 4)
+    bias = jnp.tile(
+        (p["bias"] - mean * p["weight"] * inv).astype(a.dtype), 4)
+    return a * scale + bias
+
+
 def stem_conv_blocked(w1, x):
     """Raw image (B, H, W, 3) -> pre-BN blocked stem (B, H/4, W/4, 4C)."""
     b, h, w, _ = x.shape
