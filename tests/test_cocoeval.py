@@ -257,3 +257,60 @@ def test_native_matches_python():
         ev_cc.eval["precision"], ev_py.eval["precision"], atol=1e-12)
     np.testing.assert_allclose(
         ev_cc.eval["recall"], ev_py.eval["recall"], atol=1e-12)
+
+
+def test_columnar_matches_dict_path():
+    """loadRes of a columnar dict (round-5 at-scale memory path) produces
+    bitwise-identical PR tensors to the classic per-ann dict list,
+    including score ties (submission-order tie-break) and maxDets
+    truncation."""
+    rng = np.random.default_rng(7)
+    images = list(range(5))
+    anns, dets = [], []
+    for img in images:
+        for _ in range(int(rng.integers(1, 6))):
+            w, h = rng.uniform(5, 300, 2)
+            x, y = rng.uniform(0, 600 - w), rng.uniform(0, 600 - h)
+            anns.append({"image_id": img,
+                         "category_id": int(rng.choice([1, 2])),
+                         "bbox": [x, y, w, h],
+                         "iscrowd": int(rng.random() < 0.15)})
+        for _ in range(int(rng.integers(0, 140))):  # exercise maxDets=100
+            w, h = rng.uniform(5, 300, 2)
+            x, y = rng.uniform(0, 600 - w), rng.uniform(0, 600 - h)
+            dets.append({"image_id": img,
+                         "category_id": int(rng.choice([1, 2])),
+                         "bbox": [float(x), float(y), float(w), float(h)],
+                         "score": float(rng.choice(
+                             [0.7, 0.7, rng.uniform(0.05, 1.0)]))})
+
+    gt = _gt(images, anns, cats=(1, 2))
+
+    def run(res):
+        dt = gt.loadRes(res)
+        ev = COCOeval(gt, dt, "bbox")
+        ev.evaluate(use_native=False)
+        ev.accumulate()
+        import contextlib
+        import io
+
+        with contextlib.redirect_stdout(io.StringIO()):
+            ev.summarize()
+        return ev
+
+    ev_dict = run([dict(d) for d in dets])
+    columnar = {
+        "image_id": np.array([d["image_id"] for d in dets], np.int64),
+        "category_id": np.array([d["category_id"] for d in dets],
+                                np.int64),
+        "bbox": np.array([d["bbox"] for d in dets], np.float64),
+        "score": np.array([d["score"] for d in dets], np.float64),
+    }
+    ev_col = run(columnar)
+    np.testing.assert_array_equal(ev_col.stats, ev_dict.stats)
+    np.testing.assert_array_equal(
+        ev_col.eval["precision"], ev_dict.eval["precision"])
+    np.testing.assert_array_equal(
+        ev_col.eval["recall"], ev_dict.eval["recall"])
+    np.testing.assert_array_equal(
+        ev_col.eval["scores"], ev_dict.eval["scores"])

@@ -111,12 +111,35 @@ class COCO:
         return [self.imgs[i] for i in ids]
 
     def loadRes(self, res):  # noqa: N802
-        """Load detection results (list of dicts or a json path) as a COCO
-        object sharing this object's images/categories (bbox results)."""
+        """Load detection results as a COCO object sharing this object's
+        images/categories (bbox results). Accepts a list of per-ann
+        dicts, a json path, or a COLUMNAR dict of flat arrays
+        {image_id (N,), category_id (N,), bbox (N, 4) xywh, score (N,)}
+        — the columnar form never materializes per-detection python
+        dicts (the evaluator's at-scale memory path; consumed directly
+        by `evaluators/cocoeval.py:_dt_columnar`)."""
         out = COCO()
         out.dataset["images"] = list(self.dataset.get("images", []))
         out.dataset["categories"] = copy.deepcopy(
             self.dataset.get("categories", []))
+        if isinstance(res, dict):
+            import numpy as np
+
+            n = len(res["score"])
+            col = {
+                "image_id": np.asarray(res["image_id"], np.int64),
+                "category_id": np.asarray(res["category_id"], np.int64),
+                "bbox": np.asarray(res["bbox"],
+                                   np.float64).reshape(n, 4),
+                "score": np.asarray(res["score"], np.float64),
+            }
+            unknown = (set(np.unique(col["image_id"]).tolist())
+                       - set(self.getImgIds()))
+            assert not unknown, "results contain unknown image ids"
+            out.dataset["annotations"] = []
+            out.columnar = col
+            out.create_index()
+            return out
         if isinstance(res, str):
             with open(res) as f:
                 anns = json.load(f)

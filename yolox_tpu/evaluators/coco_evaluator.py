@@ -112,7 +112,7 @@ class CocoEvaluator:
                 max_det=self.max_det)
 
         ids = []
-        data_list = []
+        data_list = []       # dict path (return_outputs) | columnar dicts
         output_data = defaultdict(dict)
         inference_time = 0.0
         n_samples = max(len(self.dataloader) - 1, 1)
@@ -138,10 +138,13 @@ class CocoEvaluator:
                     self.convert_to_coco_format(
                         dets, valid, p_info, p_ids, return_outputs=True))
                 output_data.update(image_wise_data)
+                data_list.extend(data_list_elem)
             else:
-                data_list_elem = self.convert_to_coco_format(
-                    dets, valid, p_info, p_ids)
-            data_list.extend(data_list_elem)
+                # columnar per-batch arrays: no per-detection dicts on
+                # the default eval path (at-scale memory; see
+                # convert_to_coco_columnar)
+                data_list.append(self.convert_to_coco_columnar(
+                    dets, valid, p_info, p_ids))
 
         for cur_iter, (imgs, _, info_imgs, ids) in enumerate(
                 self.dataloader):
@@ -168,6 +171,16 @@ class CocoEvaluator:
             output_data = dict(
                 ChainMap(*all_gather_objects(dict(output_data))))
 
+        if not return_outputs:
+            # concatenate the per-batch columnar chunks (possibly from
+            # all hosts) into one flat columnar dict
+            data_list = {
+                k: (np.concatenate([c[k] for c in data_list])
+                    if data_list else np.zeros(
+                        (0, 4) if k == "bbox" else 0,
+                        np.float64 if k in ("bbox", "score") else np.int64))
+                for k in ("image_id", "category_id", "bbox", "score")
+            }
         eval_results = self.evaluate_prediction(data_list, statistics)
         if return_outputs:
             return eval_results, dict(output_data)
@@ -209,13 +222,56 @@ class CocoEvaluator:
             return data_list, image_wise_data
         return data_list
 
+    def convert_to_coco_columnar(self, dets, valid, info_imgs, ids):
+        """Columnar variant of `convert_to_coco_format`: flat numpy arrays
+        {image_id, category_id, bbox (xywh), score} — no per-detection
+        python dicts. Same values as the dict path (f32 -> f64 casts);
+        consumed by `coco_json.COCO.loadRes` / `cocoeval._dt_columnar`.
+        TPU-first at-scale memory fix for the COCO-protocol dict blowup
+        shared with the reference (28.9 GB peak host RSS at 5.12M
+        synthetic dets, docs/eval_at_scale.md)."""
+        class_ids = np.asarray(self.dataloader.dataset.class_ids, np.int64)
+        img_col, cat_col, box_col, score_col = [], [], [], []
+        for i, (img_info, img_id) in enumerate(zip(info_imgs, ids)):
+            img_h, img_w = img_info
+            rows = dets[i][valid[i]]
+            if rows.shape[0] == 0:
+                continue
+            scale = letterbox_ratio(
+                (float(img_h), float(img_w)), self.img_size)
+            # xywh computed in f32 then widened — bit-identical to the
+            # dict path's tolist() of the f32 xyxy2xywh result
+            bboxes = xyxy2xywh_np(rows[:, 0:4] / scale).astype(np.float64)
+            img_id_int = int(np.asarray(img_id).reshape(-1)[0])
+            img_col.append(np.full(rows.shape[0], img_id_int, np.int64))
+            cat_col.append(class_ids[rows[:, 6].astype(np.int64)])
+            box_col.append(bboxes)
+            score_col.append(
+                (rows[:, 4] * rows[:, 5]).astype(np.float64))
+        if not img_col:
+            return {
+                "image_id": np.zeros(0, np.int64),
+                "category_id": np.zeros(0, np.int64),
+                "bbox": np.zeros((0, 4), np.float64),
+                "score": np.zeros(0, np.float64),
+            }
+        return {
+            "image_id": np.concatenate(img_col),
+            "category_id": np.concatenate(cat_col),
+            "bbox": np.concatenate(box_col),
+            "score": np.concatenate(score_col),
+        }
+
     def evaluate_prediction(self, data_dict, statistics):
+        """`data_dict`: per-ann dict list OR a columnar dict of arrays
+        (both accepted by `coco_json.COCO.loadRes`)."""
         import jax
 
         if jax.process_index() != 0:
             return 0, 0, None
-        logger.info(f"Evaluate in main process... "
-                    f"({len(data_dict)} detections)")
+        n_dets = (len(data_dict["score"]) if isinstance(data_dict, dict)
+                  else len(data_dict))
+        logger.info(f"Evaluate in main process... ({n_dets} detections)")
 
         inference_time = statistics[0]
         n_samples = statistics[2]
@@ -228,7 +284,7 @@ class CocoEvaluator:
         info = (f"Average pipelined inference time (fwd+NMS, overlapped): "
                 f"{a_infer_time:.2f} ms\n")
 
-        if len(data_dict) > 0:
+        if n_dets > 0:
             from yolox_tpu.evaluators.cocoeval import COCOeval
 
             cocoGt = self.dataloader.dataset.coco

@@ -155,12 +155,49 @@ class COCOeval:
 
     # ---------------------------------------------------------- gathering
 
+    def _dt_columnar(self):
+        """Detections as flat arrays {image_id, category_id, bbox, score}.
+
+        Fast path: a columnar cocoDt (`coco_json.COCO.loadRes` of a
+        columnar dict — detections never materialize as per-ann python
+        dicts, the round-5 answer to the 28.9 GB host RSS of the
+        5.12M-det eval-at-scale run, docs/eval_at_scale.md). Fallback:
+        flatten the classic per-ann dicts once.
+        """
+        col = getattr(self.cocoDt, "columnar", None)
+        if col is not None:
+            n = len(col["score"])
+            return {
+                "image_id": np.asarray(col["image_id"], np.int64),
+                "category_id": np.asarray(col["category_id"], np.int64),
+                "bbox": np.asarray(col["bbox"],
+                                   np.float64).reshape(n, 4),
+                "score": np.asarray(col["score"], np.float64),
+            }
+        p = self.params
+        dts = self.cocoDt.loadAnns(
+            self.cocoDt.getAnnIds(imgIds=p.imgIds, catIds=p.catIds))
+        n = len(dts)
+        return {
+            "image_id": np.fromiter(
+                (d["image_id"] for d in dts), np.int64, n),
+            "category_id": np.fromiter(
+                (d["category_id"] for d in dts), np.int64, n),
+            "bbox": np.array([d["bbox"] for d in dts],
+                             np.float64).reshape(n, 4),
+            "score": np.fromiter(
+                (d["score"] for d in dts), np.float64, n),
+        }
+
     def _gather(self):
         """Flatten annotations into per-(category, image) groups.
 
         Group order is category-major (categories in params order, images
         in params order within), so each category's detections occupy one
-        contiguous slice of the flat arrays.
+        contiguous slice of the flat arrays. Detections are handled
+        columnar end-to-end (`_dt_columnar`): one global stable sort
+        (group key asc, score desc, submission order) + per-group
+        truncation to maxDets replaces the per-group python sorting.
         """
         p = self.params
         cat_ids = p.catIds if p.useCats else [-1]
@@ -168,39 +205,61 @@ class COCOeval:
 
         gts = self.cocoGt.loadAnns(
             self.cocoGt.getAnnIds(imgIds=p.imgIds, catIds=p.catIds))
-        dts = self.cocoDt.loadAnns(
-            self.cocoDt.getAnnIds(imgIds=p.imgIds, catIds=p.catIds))
-        gt_by_key, dt_by_key = {}, {}
+        gt_by_key = {}
         for g in gts:
-            gt_by_key.setdefault(
-                (g["category_id"], g["image_id"]), []).append(g)
-        for d in dts:
-            dt_by_key.setdefault(
-                (d["category_id"], d["image_id"]), []).append(d)
+            key = (g["category_id"] if p.useCats else -1, g["image_id"])
+            gt_by_key.setdefault(key, []).append(g)
 
-        groups = []          # (cat_index, dt list sorted+truncated, gt list)
+        col = self._dt_columnar()
+        n_img = len(p.imgIds)
+        img_index = {int(im): i for i, im in enumerate(p.imgIds)}
+        ii = np.array([img_index.get(int(i), -1)
+                       for i in col["image_id"]], np.int64)
+        if p.useCats:
+            cat_index = {int(c): k for k, c in enumerate(cat_ids)}
+            ki_arr = np.array([cat_index.get(int(c), -1)
+                               for c in col["category_id"]], np.int64)
+        else:
+            ki_arr = np.zeros(ii.size, np.int64)
+        keep = (ki_arr >= 0) & (ii >= 0)
+        key = ki_arr[keep] * n_img + ii[keep]
+        score = col["score"][keep]
+        bbox = col["bbox"][keep]
+        # stable: group asc, score desc, ties in submission order (the
+        # dict path's per-group mergesort semantics)
+        order = np.lexsort((-score, key))
+        key_s, score_s, bbox_s = key[order], score[order], bbox[order]
+        uniq, start, counts = np.unique(
+            key_s, return_index=True, return_counts=True)
+        rank = np.arange(key_s.size) - np.repeat(start, counts)
+        trunc = rank < max_det
+        key_s, score_s, bbox_s = key_s[trunc], score_s[trunc], bbox_s[trunc]
+        uniq, start, counts = np.unique(
+            key_s, return_index=True, return_counts=True)
+        dt_slices = {int(k): (int(s), int(s + c))
+                     for k, s, c in zip(uniq, start, counts)}
+
+        groups = []          # (cat_index, (dt_start, dt_end), gt list)
         for ki, cat in enumerate(cat_ids):
-            for img in p.imgIds:
+            base = ki * n_img
+            for img_i, img in enumerate(p.imgIds):
                 gt = gt_by_key.get((cat, img), [])
-                dt = dt_by_key.get((cat, img), [])
-                if not gt and not dt:
+                sl = dt_slices.get(base + img_i)
+                if not gt and sl is None:
                     continue
-                order = np.argsort(
-                    [-d["score"] for d in dt], kind="mergesort")
-                dt = [dt[i] for i in order[:max_det]]
-                groups.append((ki, dt, gt))
+                groups.append((ki, sl or (0, 0), gt))
 
         self._n_groups = len(groups)
         self._group_cat = np.array([g[0] for g in groups], np.int64)
-        self._dt_counts = np.array([len(g[1]) for g in groups], np.int64)
-        self._gt_counts = np.array([len(g[2]) for g in groups], np.int64)
+        self._dt_counts = np.array(
+            [sl[1] - sl[0] for _, sl, _ in groups], np.int64)
+        self._gt_counts = np.array([len(gt) for _, _, gt in groups],
+                                   np.int64)
 
-        flat_dt = [d for _, dt, _ in groups for d in dt]
+        # dt flat arrays: group-ascending == sorted array order already
         flat_gt = [g for _, _, gt in groups for g in gt]
-        self._dt_score = np.array(
-            [d["score"] for d in flat_dt], np.float64)
-        self._dt_area = np.array(
-            [d["bbox"][2] * d["bbox"][3] for d in flat_dt], np.float64)
+        self._dt_score = score_s
+        self._dt_area = bbox_s[:, 2] * bbox_s[:, 3]
         self._gt_area = np.array(
             [g["area"] for g in flat_gt], np.float64)
         self._gt_crowd = np.array(
@@ -211,9 +270,9 @@ class COCOeval:
 
         self._ious = [
             bbox_iou_crowd(
-                [d["bbox"] for d in dt], [g["bbox"] for g in gt],
+                bbox_s[sl[0]:sl[1]], [g["bbox"] for g in gt],
                 [int(g.get("iscrowd", 0)) for g in gt])
-            for _, dt, gt in groups
+            for _, sl, gt in groups
         ]
 
     # ----------------------------------------------------------- matching
