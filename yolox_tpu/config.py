@@ -129,9 +129,13 @@ class YoloxConfig:
     # (depthwise stem, spatial dims not divisible by 4, lane folding).
     # Measured A/B per model/batch: docs/serving_performance.md.
     serve_stem_s2d: Any = "auto"
-    # "auto" cutoff: largest batch the s2d stem serves (round-5 on-chip
-    # A/B, docs/serving_performance.md "stem_s2d A/B")
-    serve_stem_s2d_max_batch: int = 8
+    # "auto" cutoff: largest batch the s2d stem serves. Round-5 on-chip
+    # A/B (yolox-s 640px bf16): fold wins 1.92x at b1, 1.34x at b8,
+    # 1.12x at b32, loses 0.91x at b256 — crossover in (32, 256].
+    # 32 banks every measured win; the one README row at the boundary
+    # (yolox-x b32) also measured faster with the fold in round 4.
+    # docs/serving_performance.md "stem_s2d A/B".
+    serve_stem_s2d_max_batch: int = 32
     # run the TRAIN-step stem through the same space-to-depth fold
     # (differentiable gathers; train-mode BN pools the block slots —
     # ops/stem_s2d.py:blocked_batch_norm_train). Mutually exclusive with
