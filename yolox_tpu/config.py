@@ -130,12 +130,14 @@ class YoloxConfig:
     # Measured A/B per model/batch: docs/serving_performance.md.
     serve_stem_s2d: Any = "auto"
     # "auto" cutoff: largest batch the s2d stem serves. Round-5 on-chip
-    # A/B: yolox-s wins 1.92x at b1, 1.34x at b8, 1.12x at b32, loses
-    # 0.91x at b256 (crossover in (32, 256]); at b1 l wins 1.42x and
-    # x 1.17x; x at b32 is flat (401 vs 407 img/s). yolox-m is the
-    # measured exception (0.70x at b1 — its named config sets this to
-    # 0); tiny inherits the s-class mechanism (blocked stem <= 128
-    # lanes) unmeasured. docs/serving_performance.md "stem_s2d A/B".
+    # A/B at b1: s 1.92x (0.741 ms), m 1.58x (1.20), l 1.42x (1.580),
+    # x 1.17x (2.906); s also wins 1.34x at b8 and 1.12x at b32 but
+    # loses 0.91x at b256 (crossover in (32, 256]); x at its published
+    # b32 is flat (401 vs 407 img/s). An early m b1 reading of 2.702 ms
+    # was a contaminated measurement (host jobs overlapping the chip
+    # during the --all sweep) — re-measured idle 3x incl. a fresh
+    # compile: 1.187-1.203 ms, and the region study at m's width agrees
+    # (894 -> 267 us). docs/serving_performance.md "stem_s2d A/B".
     serve_stem_s2d_max_batch: int = 32
     # run the TRAIN-step stem through the same space-to-depth fold
     # (differentiable gathers; train-mode BN pools the block slots —
@@ -434,13 +436,6 @@ class YoloxM(YoloxConfig):
         super().__init__("yolox_m")
         self.depth = 0.67
         self.width = 0.75
-        # the s2d stem fold is a measured LOSS for m at b1 (2.702 ms on
-        # vs 1.901 off, round-5 on-chip): at width .75 the blocked stem
-        # is 192 lanes = 1.5 MXU tiles, and XLA's lowering of the
-        # (8, 3) stride-(4, 1) conv degrades — where s (128 = 1 tile),
-        # l (256 = 2), and x (b1 1.17x) all win. Excluded by data;
-        # docs/serving_performance.md "stem_s2d A/B".
-        self.serve_stem_s2d_max_batch = 0
 
 
 class YoloxL(YoloxConfig):
