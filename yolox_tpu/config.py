@@ -130,8 +130,9 @@ class YoloxConfig:
     # Measured A/B per model/batch: docs/serving_performance.md.
     serve_stem_s2d: Any = "auto"
     # "auto" cutoff: largest batch the s2d stem serves. Round-5 on-chip
-    # A/B at b1: s 1.92x (0.741 ms), m 1.58x (1.20), l 1.42x (1.580),
-    # x 1.17x (2.906); s also wins 1.34x at b8 and 1.12x at b32 but
+    # A/B at b1: tiny 1.61x (0.523 ms), s 1.92x (0.741), m 1.58x
+    # (1.20), l 1.42x (1.580), x 1.17x (2.906) — every fold-eligible
+    # model wins; s also wins 1.34x at b8 and 1.12x at b32 but
     # loses 0.91x at b256 (crossover in (32, 256]); x at its published
     # b32 is flat (401 vs 407 img/s). An early m b1 reading of 2.702 ms
     # was a contaminated measurement (host jobs overlapping the chip
