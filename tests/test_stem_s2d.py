@@ -257,3 +257,31 @@ def test_train_step_s2d_matches_plain():
             np.testing.assert_allclose(
                 stats_on[k], stats_off[k], rtol=1e-4, atol=1e-5,
                 err_msg=k)
+
+
+def test_auto_policy_picks_fold_by_traced_batch():
+    """serve()'s "auto" default applies the fold iff the traced batch is
+    <= serve_stem_s2d_max_batch — observable in the jaxpr as the folded
+    (8, 3, 12, 4C) conv-A kernel."""
+    cfg = YoloxConfig("s2d-auto-test", num_classes=3, depth=0.33,
+                      width=0.25, input_size=(64, 64), lane_fold=False)
+    assert cfg.serve_stem_s2d == "auto"
+    cfg.serve_stem_s2d_max_batch = 4
+    module = YoloxModule.from_config(cfg, rng_seed=11)
+
+    def jaxpr_for(batch):
+        x = jnp.zeros((batch, 64, 64, 3), jnp.float32)
+        return str(jax.make_jaxpr(
+            lambda p, xx: module.serve(p, xx, max_det=8))(
+                module.params, x))
+
+    c4 = module.backbone.backbone.stem.conv.cout * 4
+    folded_sig = f"8,3,12,{c4}"
+    assert folded_sig in jaxpr_for(4).replace(" ", "")
+    assert folded_sig not in jaxpr_for(8).replace(" ", "")
+    # explicit override beats the policy
+    x = jnp.zeros((8, 64, 64, 3), jnp.float32)
+    forced = str(jax.make_jaxpr(
+        lambda p, xx: module.serve(p, xx, max_det=8, stem_s2d=True))(
+            module.params, x))
+    assert folded_sig in forced.replace(" ", "")
