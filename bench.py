@@ -53,11 +53,13 @@ TRAIN_BATCH = {"nano": 64, "tiny": 64, "s": 64, "m": 48, "l": 32, "x": 16,
                "yolov3": 24}
 
 
-def _model(name, dtype):
+def _model(name, dtype, mutate=None):
     from yolox_tpu import YoloxConfig, YoloxModule
 
     registry_name = name if name == "yolov3" else f"yolox_{name}"
     cfg = YoloxConfig.get_named_config(registry_name)
+    if mutate is not None:
+        mutate(cfg)
     return YoloxModule.from_config(cfg, dtype=dtype), cfg
 
 
@@ -177,19 +179,14 @@ def bench_train(name, batch, iters, remat=False, device_aug=False,
 
     from yolox_tpu.core import init_train_state, make_train_step
 
-    if stem_s2d:
-        # A/B leg: the s2d stem is mutually exclusive with lane folding
-        # at the stem, so this leg builds the backbone unfolded — the
-        # comparison is (lane-fold default) vs (plain + s2d stem);
-        # docs/train_step_performance.md "stem_s2d on the train step"
-        from yolox_tpu import YoloxConfig, YoloxModule
-
-        registry_name = name if name == "yolov3" else f"yolox_{name}"
-        cfg = YoloxConfig.get_named_config(registry_name)
-        cfg.lane_fold = False
-        module = YoloxModule.from_config(cfg, dtype=jnp.float32)
-    else:
-        module, cfg = _model(name, jnp.float32)   # f32 master weights
+    # s2d A/B leg: the fold is mutually exclusive with lane folding at
+    # the stem, so that leg builds the backbone unfolded — the
+    # comparison is (lane-fold default) vs (plain + s2d stem);
+    # docs/train_step_performance.md "stem_s2d on the train step"
+    module, cfg = _model(
+        name, jnp.float32,                        # f32 master weights
+        mutate=((lambda c: setattr(c, "lane_fold", False))
+                if stem_s2d else None))
     size = cfg.input_size[0]
     step = make_train_step(module, cfg.num_classes,
                            compute_dtype=jnp.bfloat16, remat=remat,
@@ -320,8 +317,11 @@ def run_one(model, mode, batch, iters, remat, int8=False, int8_hbm=False,
     if mode == "serve":
         out = bench_serve(model, batch or SERVE_BATCH[model], iters,
                           int8=int8, int8_hbm=int8_hbm, stem_s2d=stem_s2d)
-        if model == "s" and batch is None and not (int8 or int8_hbm):
-            # keep the driver headline metric name stable
+        if (model == "s" and batch is None and not (int8 or int8_hbm)
+                and stem_s2d is None):
+            # keep the driver headline metric name stable (only for the
+            # true default configuration — a forced --stem-s2d leg must
+            # not masquerade as the headline)
             out["metric"] = ("yolox_s 640px batched inference incl. NMS "
                              "(bf16)")
     elif mode == "serve-b1":

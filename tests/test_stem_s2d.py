@@ -231,8 +231,20 @@ def test_train_step_s2d_matches_plain():
     labels[:, 1] = [3, 16, 16, 12, 10]
     labels = jnp.asarray(labels)
 
+    # the fold must actually be IN the train graph (guards the
+    # folded-veto regression where apply_train's default lane_fold=True
+    # silently disabled s2d even on lane_fold=False backbones): the
+    # (8, 3, 12, 4C) conv-A kernel is jaxpr-observable
+    c4 = module.backbone.backbone.stem.conv.cout * 4
+    sig = f"8,3,12,{c4}"
     results = {}
     for flag in (False, True):
+        step = make_train_step(module, 5, stem_s2d=flag, use_ema=False,
+                               _jit=False)
+        jaxpr = str(jax.make_jaxpr(step)(
+            init_train_state(module.params), x, labels,
+            jnp.float32(0.01))).replace(" ", "")
+        assert (sig in jaxpr) == flag, f"fold in train graph != {flag}"
         step = make_train_step(module, 5, stem_s2d=flag, use_ema=False)
         state = init_train_state(module.params)
         state, metrics = step(state, x, labels, jnp.float32(0.01))

@@ -159,12 +159,15 @@ class Ctx:
     int8_qtab: Optional[Dict[str, Any]] = None
     calib_sink: Optional[Dict[str, Any]] = None
     calib_q: Optional[float] = None
-    # Serve the CspDarknet stem through the transpose-free space-to-depth
+    # Run the CspDarknet stem through the transpose-free space-to-depth
     # fold (yolox_tpu/ops/stem_s2d.py): XLA VPU-lowers the 3-channel Focus
     # conv at ~0.6% MFU (65% of batch-1 device time); the fold runs the
-    # same math MXU-shaped. Eval-only; CspDarknet checks legality
-    # (non-depthwise, no quant/calib ctx, H and W divisible by 4) and
-    # falls back to the plain stem otherwise. Config knob serve_stem_s2d.
+    # same math MXU-shaped. Composes with the train step (differentiable
+    # gathers + slot-pooled BN) and both int8 modes; CspDarknet checks
+    # legality (non-depthwise, not calibrating, not lane-folded, not
+    # fused_bwd, H and W divisible by 4) and falls back to the plain stem
+    # otherwise. Config knobs serve_stem_s2d (batch-conditional "auto")
+    # and train_stem_s2d.
     stem_s2d: bool = False
     # int8-in-HBM serving (quant.QTensor block interface): activations move
     # between blocks as int8 codes + per-channel scale; producers requantize

@@ -108,9 +108,13 @@ class CspDarknet(Module):
     def __call__(self, p, x, ctx=EVAL_CTX, path=""):
         from yolox_tpu.ops.lane_fold import unfold
 
-        # Fold only when the input width divides the whole fold chain;
-        # otherwise run every stage plain (consistently, via the ctx flag).
-        folded = (ctx.lane_fold and self.fold_divisor > 1
+        # Fold only when this backbone HAS folds (a lane_fold=False
+        # build has folds=(1,..) and must not count as folded — it
+        # would spuriously veto the s2d stem under the train ctx's
+        # default lane_fold=True) and the input width divides the whole
+        # fold chain; otherwise run every stage plain (consistently,
+        # via the ctx flag).
+        folded = (ctx.lane_fold and any(f > 1 for f in self.folds)
                   and x.shape[2] % self.fold_divisor == 0)
         if ctx.lane_fold != folded:
             import dataclasses

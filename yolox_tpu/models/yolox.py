@@ -315,7 +315,7 @@ class YoloxModule:
                 # for its batch (small-batch: MXU s2d fold; large-batch:
                 # the folded-Focus stem) — docs/serving_performance.md
                 stem_s2d = x.shape[0] <= getattr(
-                    self.config, "serve_stem_s2d_max_batch", 8)
+                    self.config, "serve_stem_s2d_max_batch", 32)
             else:
                 stem_s2d = bool(policy)
         if int8_hbm_qtab is not None:
